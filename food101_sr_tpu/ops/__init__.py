@@ -1,0 +1,22 @@
+from .resize import (
+    degrade_bicubic,
+    resize2d,
+    resize_bicubic_pil,
+    resize_bicubic_torch,
+    resize_bilinear_torch,
+    upsample_bicubic,
+)
+from .pixel_shuffle import pixel_shuffle
+from .gaussian import gaussian_kernel_2d, depthwise_blur
+
+__all__ = [
+    "degrade_bicubic",
+    "resize2d",
+    "resize_bicubic_pil",
+    "resize_bicubic_torch",
+    "resize_bilinear_torch",
+    "upsample_bicubic",
+    "pixel_shuffle",
+    "gaussian_kernel_2d",
+    "depthwise_blur",
+]
