@@ -1,0 +1,37 @@
+"""AttentionSR — channel-attention SR net (reference src/models.py:146-189).
+
+Same skeleton as ResNetSR but N attention residual blocks (SE, res_scale
+0.1, no BN anywhere) and a BN-free mid conv; trained at 96 channels via the
+registry (reference src/models.py:225).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+from flax import linen as nn
+
+from .layers import AttentionResidualBlock, Conv, PReLU, UpsampleBlock
+
+
+class AttentionSR(nn.Module):
+    scale_factor: int = 4
+    num_channels: int = 64
+    num_residuals: int = 32
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        initial = PReLU(name="prelu")(
+            Conv(self.num_channels, 9, dtype=self.dtype, name="input_conv")(x)
+        )
+        r = initial
+        for i in range(self.num_residuals):
+            r = AttentionResidualBlock(self.num_channels, dtype=self.dtype,
+                                       name=f"res_{i}")(r)
+        r = Conv(self.num_channels, 3, dtype=self.dtype, name="mid_conv")(r)
+        x = initial + r
+        assert self.scale_factor in (2, 4), "tail is built from x2 stages"
+        for i in range(self.scale_factor // 2):
+            x = UpsampleBlock(out_channels=64, scale=2, dtype=self.dtype,
+                              name=f"up_{i}")(x)
+        return Conv(3, 9, dtype=self.dtype, name="output_conv")(x)

@@ -1,0 +1,283 @@
+"""Shared building blocks for the SR model family (Flax / NHWC).
+
+Re-designed TPU-first from the behavior of the reference blocks
+(reference src/models.py): convs run NHWC on the MXU, PixelShuffle is a
+layout-only depth-to-space, SE attention is a mean-reduce + two Dense
+matmuls, and spectral norm keeps its power-iteration vectors in a mutable
+``spectral`` variable collection so it stays inside jit.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.pixel_shuffle import pixel_shuffle
+
+Dtype = Any
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+def kaiming_normal(mode: str = "fan_in") -> Callable:
+    """He-normal init, gain sqrt(2) (torch ``kaiming_normal_`` semantics).
+
+    The reference uses fan_in (default) in ResNetSR/AttentionSR
+    (src/models.py:128-131,171-175) and fan_out in SRCNN (src/models.py:93-96).
+    """
+    return nn.initializers.variance_scaling(2.0, mode, "normal")
+
+
+def icnr_kaiming_normal(scale: int) -> Callable:
+    """ICNR init for a pre-PixelShuffle conv kernel (HWIO).
+
+    Draws a kaiming-normal sub-kernel for ``out/scale^2`` filters and repeats
+    each sub-filter ``scale^2`` times contiguously along the output-channel
+    axis, so that depth-to-space of the conv output reproduces a
+    nearest-neighbor upsample at init (checkerboard-free). The reference's
+    icnr_init (src/models.py:6-23) intends the same property but tiles the
+    whole block instead of repeating per-filter, which breaks the sibling
+    structure; we implement the canonical form.
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, cin, cout = shape
+        r2 = scale * scale
+        if cout % r2 != 0:
+            return kaiming_normal("fan_in")(key, shape, dtype)
+        fan_in = kh * kw * cin
+        sub = jax.random.normal(key, (kh, kw, cin, cout // r2)) * np.sqrt(2.0 / fan_in)
+        return jnp.repeat(sub, r2, axis=-1).astype(dtype)
+
+    return init
+
+
+# ---------------------------------------------------------------------------
+# Conv with torch-style explicit padding
+# ---------------------------------------------------------------------------
+
+class Conv(nn.Module):
+    """2-D conv with torch-style symmetric padding ``(k-1)//2``.
+
+    Flax 'SAME' padding is asymmetric for even overhang (stride 2), which
+    would misalign activations vs. the reference discriminator's
+    ``padding=1, stride=2`` convs — so padding is always explicit here.
+    """
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = kaiming_normal("fan_in")
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        p = (self.kernel_size - 1) // 2
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=((p, p), (p, p)),
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class PReLU(nn.Module):
+    """PReLU with a single shared slope, init 0.25 (torch ``nn.PReLU()``)."""
+
+    init_value: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param(
+            "alpha", lambda k: jnp.asarray(self.init_value, jnp.float32)
+        )
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+
+
+class SEBlock(nn.Module):
+    """Squeeze-and-excitation channel attention, reduction 16
+    (reference src/models.py:26-41): global mean over H,W -> Dense(c/r) ->
+    ReLU -> Dense(c) -> sigmoid -> per-channel rescale."""
+
+    channels: int
+    reduction: int = 16
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = jnp.mean(x, axis=(1, 2))  # [N, C]
+        y = nn.Dense(
+            self.channels // self.reduction, use_bias=False, dtype=self.dtype, name="fc1"
+        )(y)
+        y = nn.relu(y)
+        y = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="fc2")(y)
+        y = jax.nn.sigmoid(y)
+        return x * y[:, None, None, :]
+
+
+class ResidualBlock(nn.Module):
+    """conv3x3 -> BN -> PReLU -> conv3x3 -> BN (+optional SE), identity skip,
+    no residual scaling (reference src/models.py:43-60)."""
+
+    channels: int
+    use_se: bool = False
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        r = Conv(self.channels, 3, dtype=self.dtype, name="conv1")(x)
+        r = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn1",
+        )(r)
+        r = PReLU(name="prelu")(r)
+        r = Conv(self.channels, 3, dtype=self.dtype, name="conv2")(r)
+        r = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn2",
+        )(r)
+        if self.use_se:
+            r = SEBlock(self.channels, dtype=self.dtype, name="se")(r)
+        return x + r
+
+
+class AttentionResidualBlock(nn.Module):
+    """conv3x3 -> PReLU -> conv3x3 -> SE, no BN, residual scaled by 0.1
+    (EDSR-style stabilizer; reference src/models.py:62-78)."""
+
+    channels: int
+    res_scale: float = 0.1
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        r = Conv(self.channels, 3, dtype=self.dtype, name="conv1")(x)
+        r = PReLU(name="prelu")(r)
+        r = Conv(self.channels, 3, dtype=self.dtype, name="conv2")(r)
+        r = SEBlock(self.channels, dtype=self.dtype, name="se")(r)
+        return x + r * jnp.asarray(self.res_scale, r.dtype)
+
+
+class UpsampleBlock(nn.Module):
+    """conv3x3 (ICNR init) -> PixelShuffle(r) -> PReLU — one x2 stage of the
+    post-upsampling tail shared by ResNetSR/AttentionSR
+    (reference src/models.py:116-123,160-167)."""
+
+    out_channels: int = 64
+    scale: int = 2
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        r2 = self.scale * self.scale
+        x = Conv(
+            self.out_channels * r2, 3,
+            kernel_init=icnr_kaiming_normal(self.scale),
+            dtype=self.dtype, name="conv",
+        )(x)
+        x = pixel_shuffle(x, self.scale)
+        return PReLU(name="prelu")(x)
+
+
+# ---------------------------------------------------------------------------
+# Spectral normalization (power iteration as mutable state)
+# ---------------------------------------------------------------------------
+
+class _SpectralKernel(nn.Module):
+    """Owns a kernel param plus power-iteration vectors ``u``/``v`` in the
+    ``spectral`` collection; returns the spectrally-normalized kernel.
+
+    Matches torch ``nn.utils.spectral_norm``: one power iteration per
+    training step on the (out, -1) matricization, sigma = u^T W v; eval uses
+    the stored vectors without updating (reference wraps every D conv/linear,
+    src/models.py:195-213).
+    """
+
+    shape: Sequence[int]
+    kernel_init: Callable = kaiming_normal("fan_in")
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, update_stats: bool):
+        kernel = self.param("kernel", self.kernel_init, self.shape)
+        cout = self.shape[-1]
+        n = int(np.prod(self.shape[:-1]))
+        w = kernel.reshape(n, cout).astype(jnp.float32)  # columns = out filters
+
+        u = self.variable(
+            "spectral", "u",
+            lambda: jax.random.normal(self.make_rng("params"), (cout,))
+            / np.sqrt(cout),
+        )
+        v = self.variable(
+            "spectral", "v",
+            lambda: jax.random.normal(self.make_rng("params"), (n,)) / np.sqrt(n),
+        )
+
+        def _normalize(x):
+            return x / (jnp.linalg.norm(x) + self.eps)
+
+        if update_stats:
+            v_new = _normalize(w @ u.value)
+            u_new = _normalize(w.T @ v_new)
+            u.value, v.value = u_new, v_new
+        sigma = jnp.dot(v.value, w @ u.value)
+        return (kernel / sigma).astype(kernel.dtype)
+
+
+class SNConv(nn.Module):
+    """Spectral-norm conv with torch-style padding."""
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        k = self.kernel_size
+        cin = x.shape[-1]
+        kernel = _SpectralKernel(
+            (k, k, cin, self.features), name="sn"
+        )(update_stats)
+        p = (k - 1) // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype or x.dtype),
+            kernel.astype(self.dtype or kernel.dtype),
+            window_strides=(self.strides, self.strides),
+            padding=[(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class SNDense(nn.Module):
+    """Spectral-norm dense layer."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        cin = x.shape[-1]
+        kernel = _SpectralKernel((cin, self.features), name="sn")(update_stats)
+        y = x.astype(self.dtype or x.dtype) @ kernel.astype(self.dtype or kernel.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y

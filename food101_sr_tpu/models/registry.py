@@ -1,0 +1,43 @@
+"""Model registry — name -> Flax module with per-arch hyperparams baked in,
+mirroring the reference's ``get_model`` names and sizes exactly
+(reference src/models.py:219-227): SRCNN hidden 64; RESNET 16 blocks/64 ch;
+AttentionSR 32 blocks/96 ch.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from flax import linen as nn
+
+from .attention_sr import AttentionSR
+from .discriminator import Discriminator
+from .srcnn import SRCNN
+from .resnet_sr import ResNetSR
+
+_REGISTRY = {
+    "SRCNN": lambda scale, dtype: SRCNN(scale_factor=scale, hidden_dim=64, dtype=dtype),
+    "RESNET": lambda scale, dtype: ResNetSR(
+        scale_factor=scale, num_residuals=16, num_channels=64, dtype=dtype
+    ),
+    "AttentionSR": lambda scale, dtype: AttentionSR(
+        scale_factor=scale, num_residuals=32, num_channels=96, dtype=dtype
+    ),
+}
+
+
+def get_model(name: str, scale_factor: int = 4, dtype: Any = None) -> nn.Module:
+    if name not in _REGISTRY:
+        raise ValueError(f"Unknown architecture: {name}")
+    return _REGISTRY[name](scale_factor, dtype)
+
+
+def model_names():
+    return list(_REGISTRY)
+
+
+def param_count(params) -> int:
+    """Total trainable parameter count of a params pytree (the TPU-side
+    replacement for the reference's torchinfo tables,
+    src/analyze_models.py:6-39)."""
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,40 @@
+"""ResNetSR — post-upsampling SRResNet/EDSR hybrid
+(reference src/models.py:104-144).
+
+conv9x9(3->C)+PReLU -> N residual blocks (BN) -> conv3x3+BN -> global skip
+-> two x2 [conv3x3(->4*64) -> PixelShuffle -> PReLU] stages (ICNR init)
+-> conv9x9(64->3). All compute at LR resolution until the tail.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+from flax import linen as nn
+
+from .layers import Conv, PReLU, ResidualBlock, UpsampleBlock
+
+
+class ResNetSR(nn.Module):
+    scale_factor: int = 4
+    num_channels: int = 64
+    num_residuals: int = 16
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        initial = PReLU(name="prelu")(
+            Conv(self.num_channels, 9, dtype=self.dtype, name="input_conv")(x)
+        )
+        r = initial
+        for i in range(self.num_residuals):
+            r = ResidualBlock(self.num_channels, use_se=False, dtype=self.dtype,
+                              name=f"res_{i}")(r, train=train)
+        r = Conv(self.num_channels, 3, dtype=self.dtype, name="mid_conv")(r)
+        r = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn_mid")(r)
+        x = initial + r
+        assert self.scale_factor in (2, 4), "tail is built from x2 stages"
+        for i in range(self.scale_factor // 2):
+            x = UpsampleBlock(out_channels=64, scale=2, dtype=self.dtype,
+                              name=f"up_{i}")(x)
+        return Conv(3, 9, dtype=self.dtype, name="output_conv")(x)
