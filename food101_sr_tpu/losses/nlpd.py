@@ -1,0 +1,43 @@
+"""NLPD (normalized-Laplacian-pyramid-flavored) loss
+(reference src/loss.py:31-79).
+
+4-level Laplacian pyramid: depthwise 5x5 Gaussian blur (sigma 1, zero
+padding), stride-2 subsample, bilinear upsample back (align_corners=False),
+difference. Loss = alpha * MAE + (1-alpha) * sum_i mean|dL_i|, alpha=0.7.
+
+Everything is static-shaped and jit/vmap-friendly: the pyramid is a Python
+loop over a fixed level count, so XLA sees a flat graph of convs+matmul
+resizes it can fuse.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.gaussian import depthwise_blur
+from ..ops.resize import resize_bilinear_torch
+
+
+def laplacian_pyramid(img: jnp.ndarray, n_levels: int = 4):
+    """List of per-level difference images (NHWC)."""
+    pyramid = []
+    current = img
+    for _ in range(n_levels):
+        blurred = depthwise_blur(current, size=5, sigma=1.0)
+        down = blurred[:, ::2, ::2, :]
+        up = resize_bilinear_torch(down, current.shape[1], current.shape[2])
+        pyramid.append(current - up)
+        current = down
+    return pyramid
+
+
+def nlpd_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    n_levels: int = 4,
+    alpha: float = 0.7,
+) -> jnp.ndarray:
+    loss_mae = jnp.mean(jnp.abs(pred - target))
+    pyr_p = laplacian_pyramid(pred, n_levels)
+    pyr_t = laplacian_pyramid(target, n_levels)
+    loss_nlpd = sum(jnp.mean(jnp.abs(p - t)) for p, t in zip(pyr_p, pyr_t))
+    return alpha * loss_mae + (1.0 - alpha) * loss_nlpd

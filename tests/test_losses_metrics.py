@@ -1,0 +1,147 @@
+"""Golden tests for losses and metrics, checked against torch constructions
+of the reference formulas (torch library calls only, not reference code)."""
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from food101_sr_tpu.losses import (
+    get_loss_function,
+    mae_loss,
+    mse_loss,
+    nlpd_loss,
+    tv_loss,
+)
+from food101_sr_tpu.metrics import MetricsCalculator, psnr, ssim
+
+
+def _pair(shape=(2, 16, 16, 3), seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(0, 1, shape).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.05, shape), 0, 1).astype(np.float32)
+    return a, b
+
+
+def test_mae_mse_match_torch():
+    a, b = _pair()
+    ta, tb = torch.from_numpy(a), torch.from_numpy(b)
+    np.testing.assert_allclose(
+        float(mae_loss(jnp.asarray(a), jnp.asarray(b))),
+        float(F.l1_loss(ta, tb)), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(mse_loss(jnp.asarray(a), jnp.asarray(b))),
+        float(F.mse_loss(ta, tb)), rtol=1e-6)
+
+
+def test_tv_loss_matches_reference_formula():
+    a, _ = _pair()
+    t = torch.from_numpy(a).permute(0, 3, 1, 2)
+    for w in (1.0, 0.5):
+        count_h = w * (t[:, :, 1:, :] - t[:, :, :-1, :]).pow(2).sum()
+        count_w = w * (t[:, :, :, 1:] - t[:, :, :, :-1]).pow(2).sum()
+        want = float(w * 2 * (count_h + count_w) / t.shape[0])
+        got = float(tv_loss(jnp.asarray(a), tv_loss_weight=w))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def _torch_nlpd(a, b, n_levels=4, alpha=0.7):
+    """Reference NLPD formula re-expressed with torch library ops."""
+    from food101_sr_tpu.ops.gaussian import gaussian_kernel_2d
+
+    k = torch.from_numpy(
+        np.tile(gaussian_kernel_2d(5, 1.0)[None, None], (3, 1, 1, 1))
+    )
+
+    def pyramid(img):
+        out = []
+        cur = img
+        for _ in range(n_levels):
+            blurred = F.conv2d(cur, k, padding=2, groups=3)
+            down = blurred[:, :, ::2, ::2]
+            up = F.interpolate(down, size=cur.shape[2:], mode="bilinear",
+                               align_corners=False)
+            out.append(cur - up)
+            cur = down
+        return out
+
+    ta = torch.from_numpy(a).permute(0, 3, 1, 2)
+    tb = torch.from_numpy(b).permute(0, 3, 1, 2)
+    loss_mae = F.l1_loss(ta, tb)
+    ln = sum((pa - pb).abs().mean() for pa, pb in zip(pyramid(ta), pyramid(tb)))
+    return float(alpha * loss_mae + (1 - alpha) * ln)
+
+
+@pytest.mark.parametrize("shape", [(2, 32, 32, 3), (1, 50, 50, 3)])
+def test_nlpd_matches_torch_construction(shape):
+    a, b = _pair(shape)
+    want = _torch_nlpd(a, b)
+    got = float(nlpd_loss(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_loss_registry():
+    assert get_loss_function("mae") is mae_loss
+    assert get_loss_function("MSE") is mse_loss
+    assert get_loss_function("nlpd") is nlpd_loss
+    with pytest.raises(ValueError):
+        get_loss_function("nope")
+
+
+def test_perceptual_loss_runs_and_is_zero_on_identical():
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        loss = get_loss_function("perceptual")
+    a, b = _pair((1, 32, 32, 3))
+    v_same = float(loss(jnp.asarray(a), jnp.asarray(a)))
+    v_diff = float(loss(jnp.asarray(a), jnp.asarray(b)))
+    assert v_same == 0.0
+    assert v_diff > 0.0
+
+
+def test_psnr_matches_closed_form():
+    a = np.zeros((1, 8, 8, 3), np.float32)
+    b = np.full_like(a, 0.1)
+    # mse = 0.01 -> psnr = 10*log10(1/0.01) = 20
+    np.testing.assert_allclose(float(psnr(jnp.asarray(a), jnp.asarray(b))), 20.0,
+                               rtol=1e-5)
+
+
+def test_ssim_properties():
+    a, b = _pair((2, 32, 32, 3))
+    s_same = float(ssim(jnp.asarray(a), jnp.asarray(a)))
+    np.testing.assert_allclose(s_same, 1.0, atol=1e-5)
+    s_noisy = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert 0.0 < s_noisy < 1.0
+    # more noise -> lower ssim
+    rng = np.random.default_rng(3)
+    c = np.clip(a + rng.normal(0, 0.2, a.shape), 0, 1).astype(np.float32)
+    assert float(ssim(jnp.asarray(a), jnp.asarray(c))) < s_noisy
+
+
+def test_ssim_constant_shift_closed_form():
+    """For constant images x=c1, y=c2: ssim = (2 c1 c2 + C1)/(c1^2+c2^2+C1)."""
+    c1v, c2v = 0.3, 0.5
+    a = np.full((1, 16, 16, 1), c1v, np.float32)
+    b = np.full((1, 16, 16, 1), c2v, np.float32)
+    C1 = 0.01**2
+    want = (2 * c1v * c2v + C1) / (c1v**2 + c2v**2 + C1)
+    np.testing.assert_allclose(float(ssim(jnp.asarray(a), jnp.asarray(b))),
+                               want, rtol=1e-4)
+
+
+def test_metrics_calculator_returns_float_dict():
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        calc = MetricsCalculator()
+    a, b = _pair((2, 64, 64, 3))
+    out = calc.compute(jnp.asarray(a), jnp.asarray(b))
+    assert set(out) == {"psnr", "ssim", "lpips", "nlpd"}
+    assert all(isinstance(v, float) for v in out.values())
+    assert out["psnr"] > 20.0
+    # identical images: lpips ~ 0
+    out_same = calc.compute(jnp.asarray(a), jnp.asarray(a))
+    assert out_same["lpips"] < 1e-6
+    assert out_same["nlpd"] < 1e-6
