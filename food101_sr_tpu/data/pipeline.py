@@ -1,0 +1,180 @@
+"""Host->device input pipeline.
+
+Reproduces the reference dataset contract (reference src/dataset.py:27-41)
+with a TPU-first split of work:
+
+  host (cheap, uint8):  decode -> resize-if-small (PIL bicubic, shorter side
+                        to crop) -> random/center crop -> random hflip
+  device (inside jit):  uint8 -> float/255 ('ToTensor') -> antialiased
+                        bicubic x1/scale degradation (resize-as-matmul)
+
+Shipping uint8 HR crops instead of float LR+HR pairs cuts H2D traffic ~17x
+vs. the reference's DataLoader (which moves two float32 tensors per sample,
+reference train.py:84) and puts the degradation on the MXU. A background
+thread assembles batches ahead of the consumer (the reference runs
+num_workers=0, fully synchronous); JAX's async dispatch double-buffers the
+device side.
+
+Split semantics: the reference uses *unseeded* ``random_split`` for both the
+subset proxy mode and the 90/10 train/val split (reference train.py:29-37) —
+we keep the same shapes but seed them (SURVEY §7 quirk list).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..ops.resize import degrade_bicubic
+
+
+# ---------------------------------------------------------------------------
+# Per-sample host transform
+# ---------------------------------------------------------------------------
+
+def load_hr_crop(
+    img: Image.Image,
+    crop_size: int,
+    train: bool,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """PIL image -> uint8 HWC HR crop, matching reference semantics."""
+    w, h = img.size
+    if w < crop_size or h < crop_size:
+        # torchvision Resize(int): shorter side -> crop_size, keep aspect.
+        if w <= h:
+            nw, nh = crop_size, max(crop_size, int(crop_size * h / w))
+        else:
+            nw, nh = max(crop_size, int(crop_size * w / h)), crop_size
+        img = img.resize((nw, nh), resample=Image.BICUBIC)
+        w, h = img.size
+
+    if train:
+        top = int(rng.integers(0, h - crop_size + 1))
+        left = int(rng.integers(0, w - crop_size + 1))
+    else:
+        top = (h - crop_size) // 2
+        left = (w - crop_size) // 2
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    crop = arr[top : top + crop_size, left : left + crop_size, :3]
+
+    if train and rng.random() < 0.5:
+        crop = crop[:, ::-1, :]
+    return np.ascontiguousarray(crop)
+
+
+# ---------------------------------------------------------------------------
+# Device-side batch preparation (call inside jit)
+# ---------------------------------------------------------------------------
+
+def prepare_batch(hr_u8: jnp.ndarray, scale_factor: int):
+    """uint8 NHWC HR batch -> (lr, hr) float32 in [0,1], degradation fused
+    into the surrounding jit graph."""
+    hr = hr_u8.astype(jnp.float32) / 255.0
+    lr = degrade_bicubic(hr, scale_factor)
+    return lr, hr
+
+
+# ---------------------------------------------------------------------------
+# Split helpers (seeded versions of the reference's random_split usage)
+# ---------------------------------------------------------------------------
+
+def subset_indices(n: int, fraction: float, seed: int = 0) -> np.ndarray:
+    """Proxy mode: keep a random ``fraction`` of the dataset
+    (reference train.py:29-33), seeded."""
+    if fraction >= 1.0:
+        return np.arange(n)
+    keep = int(n * fraction)
+    return np.random.default_rng(seed).permutation(n)[:keep]
+
+
+def train_val_split(indices: np.ndarray, val_fraction: float = 0.1, seed: int = 1):
+    """90/10 split (reference train.py:35-37), seeded."""
+    perm = np.random.default_rng(seed).permutation(len(indices))
+    n_train = int(len(indices) * (1.0 - val_fraction))
+    return indices[perm[:n_train]], indices[perm[n_train:]]
+
+
+# ---------------------------------------------------------------------------
+# Batched loader with background prefetch
+# ---------------------------------------------------------------------------
+
+class SRDataLoader:
+    """Iterates uint8 NHWC HR-crop batches with a producer thread.
+
+    ``sharding``: optional jax.sharding.Sharding to place batches directly
+    onto a device mesh (data-parallel). Batches are dropped-remainder so
+    every step sees a full, shardable batch (static shapes for jit).
+    """
+
+    def __init__(
+        self,
+        source,
+        indices: Optional[Sequence[int]] = None,
+        crop_size: int = 200,
+        batch_size: int = 16,
+        train: bool = True,
+        shuffle: Optional[bool] = None,
+        seed: int = 0,
+        prefetch: int = 4,
+        sharding=None,
+    ):
+        self.source = source
+        self.indices = np.asarray(
+            indices if indices is not None else np.arange(len(source))
+        )
+        self.crop_size = crop_size
+        self.batch_size = batch_size
+        self.train = train
+        self.shuffle = train if shuffle is None else shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+        self.sharding = sharding
+        self._epoch = 0
+
+    def __len__(self):
+        return len(self.indices) // self.batch_size
+
+    def _produce(self, order: np.ndarray, out: queue.Queue, epoch: int):
+        rng = np.random.default_rng((self.seed, epoch))
+        try:
+            for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                idx = order[start : start + self.batch_size]
+                batch = np.stack(
+                    [
+                        load_hr_crop(self.source[int(i)], self.crop_size, self.train, rng)
+                        for i in idx
+                    ]
+                )
+                out.put(batch)
+        finally:
+            out.put(None)
+
+    def __iter__(self) -> Iterator[jnp.ndarray]:
+        order = self.indices
+        if self.shuffle:
+            order = np.random.default_rng((self.seed, self._epoch, 7)).permutation(
+                self.indices
+            )
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(
+            target=self._produce, args=(order, q, self._epoch), daemon=True
+        )
+        t.start()
+        self._epoch += 1
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
+            if self.sharding is not None:
+                yield jax.device_put(batch, self.sharding)
+            else:
+                yield jnp.asarray(batch)

@@ -1,0 +1,122 @@
+"""Data pipeline tests: transform semantics, degradation contract, splits,
+loader behavior, and end-to-end (lr, hr) pair parity with a torch-built
+reference of the dataset contract."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+from PIL import Image
+
+import jax.numpy as jnp
+
+from food101_sr_tpu.data import (
+    SRDataLoader,
+    SyntheticSource,
+    load_hr_crop,
+    prepare_batch,
+    subset_indices,
+    train_val_split,
+)
+
+
+def test_synthetic_source_deterministic():
+    s1, s2 = SyntheticSource(n=4, seed=7), SyntheticSource(n=4, seed=7)
+    a, b = np.asarray(s1[2]), np.asarray(s2[2])
+    np.testing.assert_array_equal(a, b)
+    assert np.asarray(s1[0]).shape != np.asarray(s1[1]).shape
+
+
+def test_load_hr_crop_eval_centercrop():
+    img = Image.fromarray(
+        np.arange(300 * 400 * 3, dtype=np.uint8).reshape(300, 400, 3) % 255
+    )
+    rng = np.random.default_rng(0)
+    crop = load_hr_crop(img, 200, train=False, rng=rng)
+    assert crop.shape == (200, 200, 3)
+    # center crop: top=(300-200)//2=50, left=(400-200)//2=100
+    want = np.asarray(img)[50:250, 100:300]
+    np.testing.assert_array_equal(crop, want)
+
+
+def test_load_hr_crop_small_image_resizes_shorter_side():
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (120, 180, 3), dtype=np.uint8),
+        "RGB",
+    )
+    crop = load_hr_crop(img, 200, train=False, rng=np.random.default_rng(0))
+    assert crop.shape == (200, 200, 3)
+
+
+def test_train_crop_is_flip_and_crop_of_source():
+    img = Image.fromarray(
+        np.random.default_rng(1).integers(0, 255, (256, 256, 3), dtype=np.uint8),
+        "RGB",
+    )
+    src = np.asarray(img)
+    crop = load_hr_crop(img, 200, train=True, rng=np.random.default_rng(2))
+    # crop must appear in the source either directly or h-flipped
+    found = False
+    for cand in (crop, crop[:, ::-1]):
+        for top in range(57):
+            for left in range(57):
+                if np.array_equal(src[top : top + 200, left : left + 200], cand):
+                    found = True
+                    break
+            if found:
+                break
+        if found:
+            break
+    assert found
+
+
+def test_prepare_batch_matches_reference_contract():
+    """(lr, hr) must match: ToTensor (u8/255) then antialiased torch bicubic
+    downsample of the HR tensor (reference src/dataset.py:36-41)."""
+    hr_u8 = np.random.default_rng(0).integers(0, 256, (2, 200, 200, 3), dtype=np.uint8)
+    lr, hr = prepare_batch(jnp.asarray(hr_u8), 4)
+    assert lr.shape == (2, 50, 50, 3) and hr.shape == (2, 200, 200, 3)
+
+    t_hr = torch.from_numpy(hr_u8.astype(np.float32) / 255.0).permute(0, 3, 1, 2)
+    t_lr = F.interpolate(t_hr, size=(50, 50), mode="bicubic",
+                         align_corners=False, antialias=True)
+    np.testing.assert_allclose(np.asarray(hr), t_hr.permute(0, 2, 3, 1).numpy(),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(lr), t_lr.permute(0, 2, 3, 1).numpy(),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_subset_and_split_shapes():
+    idx = subset_indices(1000, 0.1, seed=0)
+    assert len(idx) == 100
+    tr, va = train_val_split(idx, 0.1, seed=1)
+    assert len(tr) == 90 and len(va) == 10
+    assert set(tr).isdisjoint(va)
+    # seeded => reproducible
+    tr2, va2 = train_val_split(subset_indices(1000, 0.1, seed=0), 0.1, seed=1)
+    np.testing.assert_array_equal(tr, tr2)
+
+
+def test_loader_batches_and_determinism():
+    src = SyntheticSource(n=20, seed=3)
+    dl = SRDataLoader(src, crop_size=64, batch_size=4, train=True, seed=5)
+    batches = list(dl)
+    assert len(batches) == 5
+    assert all(b.shape == (4, 64, 64, 3) and b.dtype == jnp.uint8 for b in batches)
+    # fresh loader, same seed -> same first epoch
+    dl2 = SRDataLoader(src, crop_size=64, batch_size=4, train=True, seed=5)
+    batches2 = list(dl2)
+    np.testing.assert_array_equal(np.asarray(batches[0]), np.asarray(batches2[0]))
+    # second epoch shuffles differently
+    batches3 = list(dl2)
+    assert not np.array_equal(np.asarray(batches2[0]), np.asarray(batches3[0]))
+
+
+def test_loader_eval_drops_remainder_and_is_ordered():
+    src = SyntheticSource(n=10, seed=3)
+    dl = SRDataLoader(src, crop_size=32, batch_size=4, train=False, seed=0)
+    batches = list(dl)
+    assert len(batches) == 2
+    # eval is unshuffled: first batch is sources 0..3 center crops
+    rng = np.random.default_rng(0)
+    want0 = load_hr_crop(src[0], 32, train=False, rng=rng)
+    np.testing.assert_array_equal(np.asarray(batches[0][0]), want0)
