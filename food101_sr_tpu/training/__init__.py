@@ -1,0 +1,30 @@
+from .checkpoint import load_checkpoint, save_checkpoint, warm_start_params
+from .loop import DEFAULTS, train
+from .schedule import EarlyStopping, ReduceLROnPlateau
+from .state import SRTrainState, make_adam
+from .steps import (
+    add_noise,
+    make_eval_step,
+    make_forward,
+    make_gan_d_step,
+    make_gan_g_step,
+    make_train_step,
+)
+
+__all__ = [
+    "DEFAULTS",
+    "EarlyStopping",
+    "ReduceLROnPlateau",
+    "SRTrainState",
+    "add_noise",
+    "load_checkpoint",
+    "make_adam",
+    "make_eval_step",
+    "make_forward",
+    "make_gan_d_step",
+    "make_gan_g_step",
+    "make_train_step",
+    "save_checkpoint",
+    "train",
+    "warm_start_params",
+]

@@ -1,0 +1,74 @@
+"""Orbax checkpointing of train-state pytrees.
+
+Replaces the reference's ``torch.save(state_dict)`` best-checkpoint flow
+(reference src/utils.py:40-46, train.py:174-177,186). Saves the full pytree
+(params + batch_stats + optimizer state + step) so resume restores the
+optimizer schedule — the reference's warm start is weights-only and silently
+restarts the schedule (SURVEY §5 checkpoint row).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(tree: Any, path: str) -> str:
+    """Save a pytree under ``path`` (a directory); returns the path."""
+    path = os.path.abspath(path)
+    ckpt = ocp.StandardCheckpointer()
+    # Gather to host numpy so sharded arrays save portably.
+    host_tree = jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    ckpt.save(path, host_tree, force=True)
+    ckpt.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str, target: Any = None) -> Any:
+    """Restore a pytree saved by ``save_checkpoint``. With ``target``,
+    restores with matching structure/dtypes."""
+    path = os.path.abspath(path)
+    ckpt = ocp.StandardCheckpointer()
+    if target is not None:
+        ref = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
+        return ckpt.restore(path, ref)
+    return ckpt.restore(path)
+
+
+def warm_start_params(init_params: Any, loaded_params: Any) -> Any:
+    """strict=False-style warm start (reference train.py:52-53): take loaded
+    leaves where path+shape match the freshly-initialized tree, keep the
+    init elsewhere."""
+    flat_init = _flatten(init_params)
+    flat_loaded = _flatten(loaded_params)
+    merged = {}
+    for k, v in flat_init.items():
+        lv = flat_loaded.get(k)
+        if lv is not None and getattr(lv, "shape", None) == v.shape:
+            merged[k] = lv
+        else:
+            merged[k] = v
+    return _unflatten(merged)
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def _unflatten(flat):
+    tree: dict = {}
+    for path, v in flat.items():
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = v
+    return tree

@@ -1,0 +1,241 @@
+"""The training runtime: epoch loop, validation, plateau LR, early stop,
+best-checkpointing, final test eval — the TPU-native counterpart of the
+reference's ``train(config)`` (reference train.py:21-197).
+
+Host/device split: the host loop owns control flow (epochs, logging cadence,
+plateau decisions, early stop, GAN D-cadence); all math lives in jitted
+steps over a data-parallel mesh. Metric arrays are only synced to Python
+floats on log boundaries, not per step.
+"""
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import (
+    Food101Source,
+    SRDataLoader,
+    SyntheticSource,
+    prepare_batch,
+    subset_indices,
+    train_val_split,
+)
+from ..losses import get_loss_function, mae_loss
+from ..metrics import MetricsCalculator
+from ..models import Discriminator, get_model
+from ..parallel import data_sharding, make_mesh, replicate
+from ..utils import RunLogger
+from .checkpoint import load_checkpoint, save_checkpoint, warm_start_params
+from .diagnostics import FIRST_LAST
+from .schedule import EarlyStopping, ReduceLROnPlateau
+from .state import SRTrainState, make_adam
+from .steps import (
+    make_eval_step,
+    make_forward,
+    make_gan_d_step,
+    make_gan_g_step,
+    make_train_step,
+)
+
+DEFAULTS: dict[str, Any] = {
+    "architecture": "SRCNN",
+    "batch_size": 16,
+    "lr": 4e-4,
+    "epochs": 10,
+    "loss_function": "nlpd",
+    "subset": 1.0,
+    "pretrained_weights": "",
+    "patience": 5,
+    "save_name": "model_best",
+    # TPU-native extensions (not in the reference CLI):
+    "dataset": "food101",       # food101 | synthetic
+    "data_root": "./data",
+    "crop_size": 200,
+    "scale_factor": 4,
+    "dtype": "float32",         # float32 | bfloat16 compute dtype
+    "seed": 0,
+    "weights_dir": "weights",
+    "log_every": 100,
+    "synthetic_size": 512,
+    "d_update_every": 5,
+    "use_wandb": None,
+    "run_name": None,
+}
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def _build_sources(cfg):
+    if cfg["dataset"] == "synthetic":
+        n = int(cfg["synthetic_size"])
+        return (SyntheticSource(n=n, seed=cfg["seed"]),
+                SyntheticSource(n=max(n // 4, 8), seed=cfg["seed"] + 100))
+    return (Food101Source(cfg["data_root"], "train"),
+            Food101Source(cfg["data_root"], "test"))
+
+
+def _mean(values):
+    return float(np.mean(values)) if values else 0.0
+
+
+def train(config: Mapping[str, Any] | None = None) -> dict:
+    cfg = {**DEFAULTS, **(config or {})}
+    with RunLogger(cfg, name=cfg.get("run_name"),
+                   use_wandb=cfg.get("use_wandb")) as logger:
+        cfg = {**DEFAULTS, **logger.config}  # sweep agents may override keys
+        return _train_impl(cfg, logger)
+
+
+def _train_impl(cfg: dict, logger: RunLogger) -> dict:
+    dtype = _DTYPES[cfg["dtype"]]
+    scale = int(cfg["scale_factor"])
+    crop = int(cfg["crop_size"])
+    is_gan = cfg["loss_function"] == "gan"
+
+    mesh = make_mesh()
+    shard = data_sharding(mesh)
+    n_dev = len(mesh.devices.flat)
+    print(f"Running on {n_dev} device(s) {mesh.devices.flat[0].platform} | "
+          f"Arch: {cfg['architecture']}")
+
+    # --- data -----------------------------------------------------------
+    train_source, test_source = _build_sources(cfg)
+    idx = subset_indices(len(train_source), float(cfg["subset"]), cfg["seed"])
+    if float(cfg["subset"]) < 1.0:
+        print(f"PROXY MODE: Training on {len(idx)} images.")
+    train_idx, val_idx = train_val_split(idx, 0.1, cfg["seed"] + 1)
+    test_idx = subset_indices(len(test_source), float(cfg["subset"]), cfg["seed"])
+    print(f"Dataset: Train={len(train_idx)} | Val={len(val_idx)} | "
+          f"Test={len(test_idx)}")
+
+    batch = int(cfg["batch_size"])
+
+    def _loader(source, indices, train):
+        # Loaders drop the remainder (static shapes for jit); clamp the eval
+        # batch so tiny subsets still yield at least one full batch. Keep it
+        # a multiple of the mesh size so the shard is even.
+        b = min(batch, max(len(indices) // n_dev * n_dev, n_dev)) if not train else batch
+        return SRDataLoader(source, indices, crop_size=crop, batch_size=b,
+                            train=train, sharding=shard, seed=cfg["seed"])
+
+    train_loader = _loader(train_source, train_idx, True)
+    val_loader = _loader(train_source, val_idx, False)
+    test_loader = _loader(test_source, test_idx, False)
+
+    # --- model & states ---------------------------------------------------
+    model = get_model(cfg["architecture"], scale_factor=scale, dtype=dtype)
+    rng = jax.random.PRNGKey(cfg["seed"])
+    dummy = jnp.zeros((1, crop // scale, crop // scale, 3), jnp.float32)
+    variables = model.init({"params": rng}, dummy, train=False)
+
+    if cfg["pretrained_weights"]:
+        loaded = load_checkpoint(cfg["pretrained_weights"])
+        variables = dict(variables)
+        variables["params"] = warm_start_params(
+            variables["params"], loaded.get("params", loaded)
+        )
+
+    g_tx = make_adam(float(cfg["lr"]), clip_norm=1.0 if is_gan else None)
+    g_state = replicate(SRTrainState.create(dict(variables), g_tx), mesh)
+
+    first, last = FIRST_LAST[cfg["architecture"]]
+    loss_name = "mae" if is_gan else cfg["loss_function"]
+    criterion = get_loss_function(loss_name, weights_dir=cfg["weights_dir"])
+
+    train_step = jax.jit(
+        make_train_step(model, criterion, scale, first, last), donate_argnums=0
+    )
+    eval_step = jax.jit(make_eval_step(model, criterion, scale))
+
+    d_state = d_step = g_gan_step = None
+    if is_gan:
+        d_model = Discriminator(dtype=dtype)
+        d_vars = d_model.init(
+            {"params": jax.random.PRNGKey(cfg["seed"] + 2)},
+            jnp.zeros((1, crop, crop, 3), jnp.float32), train=False,
+        )
+        d_tx = make_adam(float(cfg["lr"]) * 0.1)
+        d_state = replicate(SRTrainState.create(dict(d_vars), d_tx), mesh)
+        percep = get_loss_function("perceptual", weights_dir=cfg["weights_dir"])
+        d_step = jax.jit(make_gan_d_step(model, d_model, scale),
+                         donate_argnums=1)
+        g_gan_step = jax.jit(
+            make_gan_g_step(model, d_model, percep, scale, first, last),
+            donate_argnums=(0,),
+        )
+
+    metrics_calc = MetricsCalculator(weights_dir=cfg["weights_dir"])
+    forward = jax.jit(make_forward(model))
+
+    scheduler = ReduceLROnPlateau(float(cfg["lr"]), mode="max", factor=0.5,
+                                  patience=2)
+    stopper = EarlyStopping(patience=int(cfg["patience"]))
+    ckpt_path = os.path.join(cfg["weights_dir"], f"{cfg['save_name']}_best")
+    noise_rng = jax.random.PRNGKey(cfg["seed"] + 3)
+
+    # --- epoch loop --------------------------------------------------------
+    for epoch in range(int(cfg["epochs"])):
+        d_metrics = {}
+        for batch_idx, hr_u8 in enumerate(train_loader):
+            if is_gan:
+                if batch_idx % int(cfg["d_update_every"]) == 0:
+                    noise_rng, sub = jax.random.split(noise_rng)
+                    d_state, d_metrics = d_step(g_state, d_state, hr_u8, sub)
+                g_state, metrics = g_gan_step(g_state, d_state, hr_u8)
+            else:
+                g_state, metrics = train_step(g_state, hr_u8)
+
+            if batch_idx % int(cfg["log_every"]) == 0:
+                log_data = {k: float(v) for k, v in metrics.items()}
+                log_data.update({k: float(v) for k, v in d_metrics.items()})
+                logger.log(log_data)
+
+        # --- validation ----------------------------------------------------
+        psnrs, losses = [], []
+        for hr_u8 in val_loader:
+            out = eval_step(g_state.params, g_state.extra, hr_u8)
+            psnrs.append(float(out["psnr"]))
+            losses.append(float(out["val_loss"]))
+        avg_psnr, avg_val_loss = _mean(psnrs), _mean(losses)
+
+        new_lr = scheduler.step(avg_psnr)
+        g_state = g_state.set_learning_rate(new_lr)
+        print(f"   -> Val PSNR: {avg_psnr:.2f} | Val Loss: {avg_val_loss:.4f} "
+              f"| LR: {new_lr}")
+        logger.log({"epoch": epoch, "val_psnr": avg_psnr,
+                    "val_loss": avg_val_loss, "lr": new_lr})
+
+        if stopper.update(avg_psnr):
+            save_checkpoint({"params": g_state.params, "extra": g_state.extra},
+                            ckpt_path)
+            logger.save(ckpt_path)
+        if stopper.should_stop:
+            print("Early stopping triggered")
+            break
+
+    # --- final test eval -----------------------------------------------------
+    print("\nRunning Final Test Set Evaluation...")
+    if os.path.exists(ckpt_path):
+        best = load_checkpoint(
+            ckpt_path, {"params": g_state.params, "extra": g_state.extra}
+        )
+        params, extra = replicate(best["params"], mesh), replicate(best["extra"], mesh)
+    else:  # zero-epoch runs
+        params, extra = g_state.params, g_state.extra
+
+    test_metrics = {"psnr": [], "ssim": [], "lpips": [], "nlpd": []}
+    for hr_u8 in test_loader:
+        lr_img, hr = prepare_batch(hr_u8, scale)
+        sr = forward(params, extra, lr_img)
+        batch_res = metrics_calc.compute(sr, hr)
+        for k in test_metrics:
+            test_metrics[k].append(batch_res[k])
+    final = {k: _mean(v) for k, v in test_metrics.items()}
+    print(f"Final Test Results: {final}")
+    logger.log({f"test_{k}": v for k, v in final.items()})
+    return final

@@ -1,0 +1,182 @@
+"""Jitted train/eval step factories.
+
+Each factory closes over static configuration (model, loss, scale) and
+returns a function safe to ``jax.jit`` with donated state. The degradation
+(uint8 HR -> (lr, hr) floats) happens *inside* the step so XLA fuses
+normalize+resize with the first conv's input pipeline; only uint8 crops
+cross the host/device boundary.
+
+Mirrors the reference's step semantics (reference train.py:83-142 non-GAN,
+train.py:86-114 GAN) including diagnostics keys, relativistic D loss with
+label smoothing and instance noise, the composite G loss weights, and the
+D-every-5-batches cadence (the cadence itself is host-side: the epoch loop
+simply calls d_step on every 5th batch).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.pipeline import prepare_batch
+from ..losses import mae_loss, tv_loss
+from ..metrics.metrics import psnr
+from .diagnostics import grad_norm, layer_grad_ratio, update_ratio
+from .state import SRTrainState
+
+MUTABLE = ["batch_stats", "spectral"]
+
+
+def _apply_train(model, params, extra, x):
+    out, updates = model.apply(
+        {"params": params, **extra}, x, train=True, mutable=MUTABLE
+    )
+    new_extra = {**extra, **updates}
+    return out, new_extra
+
+
+def make_train_step(model, loss_fn: Callable, scale: int,
+                    first_path: str, last_path: str):
+    """Supervised (non-GAN) step: loss + grads + Adam update + in-graph
+    dynamics diagnostics."""
+
+    def train_step(state: SRTrainState, hr_u8: jnp.ndarray):
+        lr_img, hr = prepare_batch(hr_u8, scale)
+
+        def loss_of(params):
+            sr, new_extra = _apply_train(model, params, state.extra, lr_img)
+            return loss_fn(sr, hr), new_extra
+
+        (loss, new_extra), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params
+        )
+        lr_val = state.learning_rate
+        metrics = {
+            "train_loss": loss,
+            "dynamics/grad_norm": grad_norm(grads),
+            "dynamics/layer_ratio": layer_grad_ratio(grads, first_path, last_path),
+            "dynamics/update_ratio": update_ratio(state.params, grads, lr_val),
+        }
+        return state.apply_updates(grads, new_extra), metrics
+
+    return train_step
+
+
+def make_eval_step(model, loss_fn: Callable, scale: int):
+    """Validation step: batch PSNR (on clamped images, as the reference's
+    MetricsCalculator does) + raw val loss (reference train.py:144-162)."""
+
+    def eval_step(params, extra, hr_u8):
+        lr_img, hr = prepare_batch(hr_u8, scale)
+        sr = model.apply({"params": params, **extra}, lr_img, train=False)
+        sr_c = jnp.clip(sr, 0.0, 1.0)
+        return {
+            "psnr": psnr(sr_c, jnp.clip(hr, 0.0, 1.0)),
+            "val_loss": loss_fn(sr, hr),
+        }
+
+    return eval_step
+
+
+def make_forward(model):
+    def forward(params, extra, lr_img):
+        return model.apply({"params": params, **extra}, lr_img, train=False)
+
+    return forward
+
+
+# ---------------------------------------------------------------------------
+# GAN branch (reference train.py:86-114)
+# ---------------------------------------------------------------------------
+
+def add_noise(rng, img, sigma: float = 0.15):
+    """Instance noise (reference add_noise, train.py:17-19)."""
+    if sigma <= 0:
+        return img
+    return img + sigma * jax.random.normal(rng, img.shape, img.dtype)
+
+
+def make_gan_d_step(g_model, d_model, scale: int, noise_sigma: float = 0.2):
+    """Discriminator step: relativistic average BCE with label smoothing
+    0.9/0.1 and instance noise on both inputs (reference train.py:87-101)."""
+
+    def d_step(g_state: SRTrainState, d_state: SRTrainState,
+               hr_u8: jnp.ndarray, rng: jax.Array):
+        lr_img, hr = prepare_batch(hr_u8, scale)
+        rng_r, rng_f = jax.random.split(rng)
+        fake = g_model.apply(g_state.variables(), lr_img, train=False)
+        fake = jax.lax.stop_gradient(fake)
+        noisy_real = add_noise(rng_r, hr, noise_sigma)
+        noisy_fake = add_noise(rng_f, fake, noise_sigma)
+
+        def loss_of(d_params):
+            real_logits, ex1 = _apply_train(d_model, d_params, d_state.extra,
+                                            noisy_real)
+            fake_logits, ex2 = _apply_train(d_model, d_params, ex1, noisy_fake)
+            d_loss_real = jnp.mean(optax.sigmoid_binary_cross_entropy(
+                real_logits - jnp.mean(fake_logits), 0.9 * jnp.ones_like(real_logits)))
+            d_loss_fake = jnp.mean(optax.sigmoid_binary_cross_entropy(
+                fake_logits - jnp.mean(real_logits), 0.1 * jnp.ones_like(fake_logits)))
+            loss = (d_loss_real + d_loss_fake) / 2.0
+            aux = (ex2,
+                   jnp.mean(jax.nn.sigmoid(real_logits)),
+                   jnp.mean(jax.nn.sigmoid(fake_logits)))
+            return loss, aux
+
+        (loss, (new_extra, prob_real, prob_fake)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(d_state.params)
+        new_d = d_state.apply_updates(grads, new_extra)
+        metrics = {
+            "train_loss_D": loss,
+            "gan_dynamics/prob_real": prob_real,
+            "gan_dynamics/prob_fake": prob_fake,
+        }
+        return new_d, metrics
+
+    return d_step
+
+
+def make_gan_g_step(g_model, d_model, perceptual_fn, scale: int,
+                    first_path: str, last_path: str,
+                    w_pixel: float = 1e-2, w_percep: float = 1.0,
+                    w_adv: float = 1e-5, w_tv: float = 2e-5):
+    """Generator step: composite pixel+perceptual+adversarial+TV loss with
+    the reference's exact weights (reference train.py:104-114). The
+    discriminator's BN/spectral state is threaded through (torch mutates D
+    running stats during the G forward passes too)."""
+
+    def g_step(g_state: SRTrainState, d_state: SRTrainState, hr_u8: jnp.ndarray):
+        lr_img, hr = prepare_batch(hr_u8, scale)
+
+        def loss_of(g_params):
+            sr, g_extra = _apply_train(g_model, g_params, g_state.extra, lr_img)
+            fake_logits, d_ex1 = _apply_train(d_model, d_state.params,
+                                              d_state.extra, sr)
+            real_logits, d_ex2 = _apply_train(d_model, d_state.params, d_ex1, hr)
+            real_logits = jax.lax.stop_gradient(real_logits)
+            loss_adv = jnp.mean(optax.sigmoid_binary_cross_entropy(
+                fake_logits - jnp.mean(real_logits),
+                jnp.ones_like(fake_logits)))
+            loss_pixel = mae_loss(sr, hr)
+            loss = (w_pixel * loss_pixel + w_percep * perceptual_fn(sr, hr)
+                    + w_adv * loss_adv + w_tv * tv_loss(sr))
+            return loss, (g_extra, d_ex2)
+
+        (loss, (g_extra, d_extra)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(g_state.params)
+        lr_val = g_state.learning_rate
+        metrics = {
+            "train_loss": loss,
+            "dynamics/grad_norm": grad_norm(grads),
+            "dynamics/layer_ratio": layer_grad_ratio(grads, first_path, last_path),
+            "dynamics/update_ratio": update_ratio(g_state.params, grads, lr_val),
+        }
+        new_g = g_state.apply_updates(grads, g_extra)
+        new_d = d_state.replace(extra=d_extra)
+        return new_g, new_d, metrics
+
+    return g_step

@@ -1,0 +1,78 @@
+"""Data-parallel tests on the fake 8-device CPU mesh (SURVEY §4's substitute
+for a fake distributed backend)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from food101_sr_tpu.losses import mse_loss
+from food101_sr_tpu.models import get_model
+from food101_sr_tpu.parallel import cpu_mesh, data_sharding, replicate
+from food101_sr_tpu.training import SRTrainState, make_adam, make_train_step
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    return cpu_mesh(8)
+
+
+def _state(model, lr_shape, seed=0, lr=1e-3):
+    variables = model.init({"params": jax.random.PRNGKey(seed)},
+                           jnp.zeros(lr_shape, jnp.float32), train=False)
+    return SRTrainState.create(dict(variables), make_adam(lr))
+
+
+def test_dp_train_step_runs_sharded(mesh8):
+    model = get_model("RESNET", scale_factor=4)
+    state = replicate(_state(model, (1, 8, 8, 3)), mesh8)
+    shard = data_sharding(mesh8)
+    hr = jax.device_put(
+        np.random.default_rng(0).integers(0, 256, (16, 32, 32, 3), dtype=np.uint8),
+        shard,
+    )
+    step = jax.jit(make_train_step(model, mse_loss, 4, "input_conv",
+                                   "output_conv"))
+    new_state, metrics = step(state, hr)
+    assert np.isfinite(float(metrics["train_loss"]))
+    # params remain replicated
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_dp_matches_single_device(mesh8):
+    """Gradient math must be independent of the mesh: one jitted step over
+    global arrays gives identical params whether batch is sharded over 8
+    devices or lives on one (global-batch semantics, incl. BatchNorm)."""
+    model = get_model("RESNET", scale_factor=4)
+    hr_np = np.random.default_rng(1).integers(0, 256, (16, 32, 32, 3),
+                                              dtype=np.uint8)
+    step_fn = make_train_step(model, mse_loss, 4, "input_conv", "output_conv")
+
+    # single device
+    s1 = _state(model, (1, 8, 8, 3))
+    s1_new, m1 = jax.jit(step_fn)(s1, jnp.asarray(hr_np))
+
+    # 8-device mesh
+    s8 = replicate(_state(model, (1, 8, 8, 3)), mesh8)
+    hr8 = jax.device_put(hr_np, data_sharding(mesh8))
+    s8_new, m8 = jax.jit(step_fn)(s8, hr8)
+
+    np.testing.assert_allclose(float(m1["train_loss"]), float(m8["train_loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1_new.params),
+                    jax.tree_util.tree_leaves(s8_new.params)):
+        # cross-device reduction order perturbs the last float bit or two
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 200, 200, 3)
+    ge.dryrun_multichip(8)

@@ -1,0 +1,209 @@
+"""Training runtime tests: schedules, state, jitted steps (loss decreases),
+checkpoint round-trip, and the end-to-end CPU slice (BASELINE config #1)."""
+import os
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from food101_sr_tpu.models import SRCNN, Discriminator, get_model
+from food101_sr_tpu.losses import mse_loss
+from food101_sr_tpu.training import (
+    EarlyStopping,
+    ReduceLROnPlateau,
+    SRTrainState,
+    load_checkpoint,
+    make_adam,
+    make_eval_step,
+    make_gan_d_step,
+    make_gan_g_step,
+    make_train_step,
+    save_checkpoint,
+    warm_start_params,
+)
+
+
+def _batch(n=4, size=32, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).integers(0, 256, (n, size, size, 3),
+                                             dtype=np.uint8)
+    )
+
+
+def _make_state(model, lr_shape, lr=1e-3, seed=0, clip=None):
+    variables = model.init({"params": jax.random.PRNGKey(seed)},
+                           jnp.zeros(lr_shape, jnp.float32), train=False)
+    return SRTrainState.create(dict(variables), make_adam(lr, clip))
+
+
+# --- schedules ---------------------------------------------------------------
+
+def test_reduce_lr_on_plateau_torch_semantics():
+    s = ReduceLROnPlateau(1.0, mode="max", factor=0.5, patience=2)
+    assert s.step(10.0) == 1.0      # new best
+    assert s.step(10.0) == 1.0      # bad 1 (not > best*(1+1e-4))
+    assert s.step(10.0) == 1.0      # bad 2
+    assert s.step(10.0) == 0.5      # bad 3 > patience -> decay
+    assert s.step(20.0) == 0.5      # new best, no further decay
+    assert s.step(5.0) == 0.5
+    assert s.step(5.0) == 0.5
+    assert s.step(5.0) == 0.25
+
+
+def test_early_stopping():
+    e = EarlyStopping(patience=2)
+    assert e.update(1.0) is True
+    assert e.update(0.5) is False and not e.should_stop
+    assert e.update(0.4) is False and e.should_stop
+
+
+# --- supervised step ---------------------------------------------------------
+
+def test_train_step_decreases_loss_srcnn_x2():
+    model = SRCNN(scale_factor=2)
+    state = _make_state(model, (1, 16, 16, 3), lr=1e-3)
+    step = jax.jit(make_train_step(model, mse_loss, 2, "conv1", "conv3"))
+    hr = _batch(4, 32)
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, hr)
+        losses.append(float(metrics["train_loss"]))
+    assert losses[-1] < losses[0] * 0.7
+    assert int(state.step) == 30
+    for key in ("dynamics/grad_norm", "dynamics/layer_ratio",
+                "dynamics/update_ratio"):
+        assert np.isfinite(float(metrics[key]))
+
+
+def test_train_step_resnet_updates_batch_stats():
+    model = get_model("RESNET", scale_factor=4)
+    state = _make_state(model, (1, 8, 8, 3))
+    step = jax.jit(make_train_step(model, mse_loss, 4, "input_conv",
+                                   "output_conv"))
+    old_bs = jax.tree_util.tree_leaves(state.extra["batch_stats"])
+    state, _ = step(state, _batch(2, 32))
+    new_bs = jax.tree_util.tree_leaves(state.extra["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old_bs, new_bs))
+
+
+def test_eval_step_metrics():
+    model = SRCNN(scale_factor=2)
+    state = _make_state(model, (1, 16, 16, 3))
+    ev = jax.jit(make_eval_step(model, mse_loss, 2))
+    out = ev(state.params, state.extra, _batch(2, 32))
+    assert np.isfinite(float(out["psnr"]))
+    assert float(out["val_loss"]) > 0
+
+
+def test_set_learning_rate_no_retrace():
+    model = SRCNN(scale_factor=2)
+    state = _make_state(model, (1, 16, 16, 3), lr=1e-3)
+    traces = []
+
+    def _counting(state, hr):
+        traces.append(1)
+        return make_train_step(model, mse_loss, 2, "conv1", "conv3")(state, hr)
+
+    step = jax.jit(_counting)
+    hr = _batch(2, 32)
+    state, _ = step(state, hr)
+    state = state.set_learning_rate(5e-4)
+    state, _ = step(state, hr)
+    assert len(traces) == 1
+    assert float(state.learning_rate) == pytest.approx(5e-4)
+
+
+# --- GAN steps ---------------------------------------------------------------
+
+def test_gan_steps_run_and_update():
+    g_model = get_model("AttentionSR", scale_factor=4)
+    # tiny D-compatible config: crop 32
+    g_state = _make_state(g_model, (1, 8, 8, 3), lr=1e-4, clip=1.0)
+    d_model = Discriminator(nf=16)
+    d_vars = d_model.init({"params": jax.random.PRNGKey(5)},
+                          jnp.zeros((1, 32, 32, 3), jnp.float32), train=False)
+    d_state = SRTrainState.create(dict(d_vars), make_adam(1e-5))
+
+    d_step = jax.jit(make_gan_d_step(g_model, d_model, 4))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from food101_sr_tpu.losses import PerceptualLoss
+        percep = PerceptualLoss()
+    g_step = jax.jit(make_gan_g_step(g_model, d_model, percep, 4,
+                                     "input_conv", "output_conv"))
+
+    hr = _batch(2, 32)
+    d_state2, dm = d_step(g_state, d_state, hr, jax.random.PRNGKey(0))
+    assert np.isfinite(float(dm["train_loss_D"]))
+    assert 0.0 <= float(dm["gan_dynamics/prob_real"]) <= 1.0
+    # D params changed
+    d0 = jax.tree_util.tree_leaves(d_state.params)
+    d1 = jax.tree_util.tree_leaves(d_state2.params)
+    assert any(not np.allclose(a, b) for a, b in zip(d0, d1))
+    # spectral state updated
+    s0 = jax.tree_util.tree_leaves(d_state.extra["spectral"])
+    s1 = jax.tree_util.tree_leaves(d_state2.extra["spectral"])
+    assert any(not np.allclose(a, b) for a, b in zip(s0, s1))
+
+    g_state2, d_state3, gm = g_step(g_state, d_state2, hr)
+    assert np.isfinite(float(gm["train_loss"]))
+    g0 = jax.tree_util.tree_leaves(g_state.params)
+    g1 = jax.tree_util.tree_leaves(g_state2.params)
+    assert any(not np.allclose(a, b) for a, b in zip(g0, g1))
+
+
+# --- checkpointing -----------------------------------------------------------
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = SRCNN(scale_factor=2)
+    state = _make_state(model, (1, 16, 16, 3))
+    tree = {"params": state.params, "extra": state.extra}
+    path = save_checkpoint(tree, os.path.join(tmp_path, "ck"))
+    restored = load_checkpoint(path, tree)
+    for a, b in zip(jax.tree_util.tree_leaves(tree),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_warm_start_partial():
+    a = {"conv1": {"kernel": jnp.ones((3, 3)), "bias": jnp.zeros((3,))},
+         "conv2": {"kernel": jnp.ones((2, 2))}}
+    loaded = {"conv1": {"kernel": jnp.full((3, 3), 7.0),
+                        "bias": jnp.zeros((5,))},  # shape mismatch -> skip
+              "extra_key": {"kernel": jnp.zeros((1,))}}
+    merged = warm_start_params(a, loaded)
+    np.testing.assert_array_equal(np.asarray(merged["conv1"]["kernel"]), 7.0 * np.ones((3, 3)))
+    assert merged["conv1"]["bias"].shape == (3,)
+    assert "extra_key" not in merged
+    np.testing.assert_array_equal(np.asarray(merged["conv2"]["kernel"]), np.ones((2, 2)))
+
+
+# --- end-to-end slice (BASELINE config #1, CPU-runnable) ---------------------
+
+def test_end_to_end_srcnn_x2_synthetic(tmp_path):
+    from food101_sr_tpu.training import train
+
+    cfg = {
+        "architecture": "SRCNN",
+        "dataset": "synthetic",
+        "synthetic_size": 48,
+        "crop_size": 96,
+        "scale_factor": 2,
+        "batch_size": 16,
+        "lr": 1e-3,
+        "epochs": 2,
+        "loss_function": "mse",
+        "subset": 1.0,
+        "patience": 5,
+        "save_name": "srcnn_test",
+        "weights_dir": str(tmp_path / "weights"),
+        "run_name": "e2e_test",
+        "use_wandb": False,
+        "log_every": 1,
+    }
+    final = train(cfg)
+    assert set(final) == {"psnr", "ssim", "lpips", "nlpd"}
+    assert final["psnr"] > 10.0
+    assert os.path.isdir(os.path.join(cfg["weights_dir"], "srcnn_test_best"))

@@ -1,0 +1,40 @@
+#!/usr/bin/env python
+"""Training CLI — same public flags as the reference (reference
+train.py:199-212) plus TPU-native extensions (dataset/dtype/scale/etc.;
+see food101_sr_tpu.training.DEFAULTS). Works as a W&B sweep target
+(``program: train.py`` in configs/sweep_*.yaml) and standalone.
+"""
+import argparse
+
+from food101_sr_tpu.training import DEFAULTS, train
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    # Reference-compatible flags (same names and defaults).
+    p.add_argument("--architecture", type=str, default="SRCNN")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=0.0004)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--loss_function", type=str, default="nlpd")
+    p.add_argument("--subset", type=float, default=1.0)
+    p.add_argument("--pretrained_weights", type=str, default="")
+    p.add_argument("--patience", type=int, default=5)
+    p.add_argument("--save_name", type=str, default="model_best")
+    # TPU-native extensions.
+    p.add_argument("--dataset", type=str, default=DEFAULTS["dataset"],
+                   choices=["food101", "synthetic"])
+    p.add_argument("--data_root", type=str, default=DEFAULTS["data_root"])
+    p.add_argument("--crop_size", type=int, default=DEFAULTS["crop_size"])
+    p.add_argument("--scale_factor", type=int, default=DEFAULTS["scale_factor"])
+    p.add_argument("--dtype", type=str, default=DEFAULTS["dtype"],
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--seed", type=int, default=DEFAULTS["seed"])
+    p.add_argument("--weights_dir", type=str, default=DEFAULTS["weights_dir"])
+    p.add_argument("--log_every", type=int, default=DEFAULTS["log_every"])
+    p.add_argument("--run_name", type=str, default=None)
+    return p.parse_args()
+
+
+if __name__ == "__main__":
+    train(config=vars(parse_args()))

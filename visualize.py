@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Offline model comparison / visualization / latency bench.
+
+TPU-native rebuild of the reference's comparison tool (reference
+visualize.py:63-124): samples test images, writes the same PNG report
+layout (``report/images/image_{idx}/{ground_truth,input_lr_resized,bicubic,
+<model>.png}``), prints per-image 255-range PSNR, and a latency summary
+table (avg/std/min/max ms per model).
+
+Deliberate fixes over the reference (SURVEY §7 quirk list):
+  * each model is built and its weights loaded ONCE (the reference reloads
+    every checkpoint for every image — 4x1000 weight loads);
+  * inference is jitted; repeated shapes hit the compile cache. With
+    ``--bucket`` LR inputs are edge-padded up to a multiple of 32 so the
+    whole run compiles a handful of programs instead of one per image size
+    (output is cropped back, PSNR unaffected away from a few border px);
+  * timing uses ``block_until_ready`` fences after a warmup call (the
+    honest XLA analogue of the reference's cuda-synchronize timing).
+"""
+import argparse
+import math
+import os
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from food101_sr_tpu.data import Food101Source, SyntheticSource
+from food101_sr_tpu.models import get_model
+from food101_sr_tpu.training import load_checkpoint
+
+SCALE_FACTOR = 4
+NUM_EXAMPLES = 1000
+OUTPUT_DIR = "report/images"
+
+# Checkpoint directories produced by train.py --save_name (orbax format),
+# mirroring the reference's WEIGHTS mapping (reference visualize.py:17-22).
+WEIGHTS = {
+    "SRCNN": "weights/srcnn_nlpd_best",
+    "RESNET": "weights/resnet_run_best",
+    "AttentionSR": "weights/attentionsr_run_best",
+    "AttentionSR_GAN": "weights/attentionsr_gan_best",
+}
+
+
+def calculate_psnr(img1, img2):
+    """255-range PSNR on uint8 images (reference visualize.py:24-29)."""
+    a = np.asarray(img1).astype(np.float32)
+    b = np.asarray(img2).astype(np.float32)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return 100.0
+    return 20 * math.log10(255.0 / math.sqrt(mse))
+
+
+class ModelRunner:
+    """A model + checkpoint loaded once, with a jitted forward."""
+
+    def __init__(self, display_name: str, ckpt_path: str):
+        arch = "AttentionSR" if "AttentionSR" in display_name else display_name
+        self.name = display_name
+        self.model = get_model(arch, scale_factor=SCALE_FACTOR)
+        dummy = jnp.zeros((1, 16, 16, 3), jnp.float32)
+        variables = self.model.init({"params": jax.random.PRNGKey(0)}, dummy,
+                                    train=False)
+        try:
+            tree = {"params": variables["params"],
+                    "extra": {k: v for k, v in variables.items() if k != "params"}}
+            loaded = load_checkpoint(ckpt_path, tree)
+            self.variables = {"params": loaded["params"], **loaded["extra"]}
+        except (FileNotFoundError, ValueError) as e:
+            print(f"Warning: could not load weights for {display_name} at "
+                  f"{ckpt_path}: {e}")
+            self.variables = None
+            return
+        self._fwd = jax.jit(
+            lambda v, x: jnp.clip(self.model.apply(v, x, train=False), 0.0, 1.0)
+        )
+        self._warm_shapes = set()
+
+    def predict(self, lr_np: np.ndarray, bucket: bool):
+        """lr_np: [H,W,3] float32 in [0,1]. Returns (sr uint8 HWC, seconds)."""
+        h, w = lr_np.shape[:2]
+        if bucket:
+            ph = (-h) % 32
+            pw = (-w) % 32
+            x = np.pad(lr_np, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        else:
+            x = lr_np
+        xb = jnp.asarray(x[None])
+        if xb.shape not in self._warm_shapes:  # exclude compile from timing
+            self._fwd(self.variables, xb).block_until_ready()
+            self._warm_shapes.add(xb.shape)
+        t0 = time.perf_counter()
+        out = self._fwd(self.variables, xb)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        sr = np.asarray(out[0])[: h * SCALE_FACTOR, : w * SCALE_FACTOR]
+        return (sr * 255.0 + 0.5).astype(np.uint8), dt
+
+
+def run_comparison(dataset="food101", data_root="./data",
+                   num_examples=NUM_EXAMPLES, out_dir=OUTPUT_DIR,
+                   bucket=True, seed=0, weights=None):
+    if dataset == "synthetic":
+        source = SyntheticSource(n=max(num_examples, 16), seed=seed)
+    else:
+        source = Food101Source(data_root, "test")
+    print(f"Processing images on {jax.devices()[0].platform} ...")
+
+    rng = np.random.default_rng(seed)
+    indices = rng.choice(len(source), size=min(num_examples, len(source)),
+                         replace=False)
+    os.makedirs(out_dir, exist_ok=True)
+
+    runners = [ModelRunner(name, path) for name, path in (weights or WEIGHTS).items()]
+    runners = [r for r in runners if r.variables is not None]
+
+    inference_times = defaultdict(list)
+    for i, idx in enumerate(indices):
+        print(f"\n--- Processing Image {i + 1}/{len(indices)} (Index: {idx}) ---")
+        save_path = os.path.join(out_dir, f"image_{idx}")
+        os.makedirs(save_path, exist_ok=True)
+
+        hr_img = source[int(idx)]
+        w, h = hr_img.size
+        w, h = (w // SCALE_FACTOR) * SCALE_FACTOR, (h // SCALE_FACTOR) * SCALE_FACTOR
+        hr_img = hr_img.crop((0, 0, w, h))
+
+        lr_img = hr_img.resize((w // SCALE_FACTOR, h // SCALE_FACTOR),
+                               resample=Image.BICUBIC)
+        hr_img.save(os.path.join(save_path, "ground_truth.png"))
+        lr_img.resize(hr_img.size, resample=Image.NEAREST).save(
+            os.path.join(save_path, "input_lr_resized.png"))
+
+        bicubic_img = lr_img.resize((w, h), resample=Image.BICUBIC)
+        bicubic_img.save(os.path.join(save_path, "bicubic.png"))
+        print(f"Saved Baseline | Bicubic PSNR: "
+              f"{calculate_psnr(bicubic_img, hr_img):.2f} dB")
+
+        lr_np = np.asarray(lr_img, dtype=np.float32) / 255.0
+        for runner in runners:
+            sr, dt = runner.predict(lr_np, bucket)
+            inference_times[runner.name].append(dt)
+            Image.fromarray(sr).save(
+                os.path.join(save_path, f"{runner.name.lower()}.png"))
+            print(f"Saved {runner.name} | PSNR: "
+                  f"{calculate_psnr(sr, hr_img):.2f} dB | "
+                  f"Inference: {dt * 1000:.2f} ms")
+
+    print(f"\n{'=' * 50}\nINFERENCE TIME SUMMARY\n{'=' * 50}")
+    for name, times in inference_times.items():
+        ms = np.asarray(times) * 1000
+        print(f"{name:15} | Avg: {ms.mean():7.2f} ms | Std: {ms.std():6.2f} ms "
+              f"| Min: {ms.min():7.2f} ms | Max: {ms.max():7.2f} ms")
+    print(f"\nDone! Check the '{out_dir}' folder.")
+    return inference_times
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="food101", choices=["food101", "synthetic"])
+    p.add_argument("--data_root", default="./data")
+    p.add_argument("--num_examples", type=int, default=NUM_EXAMPLES)
+    p.add_argument("--out_dir", default=OUTPUT_DIR)
+    p.add_argument("--no_bucket", action="store_true",
+                   help="disable shape bucketing (compile per image size)")
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args()
+    run_comparison(a.dataset, a.data_root, a.num_examples, a.out_dir,
+                   bucket=not a.no_bucket, seed=a.seed)
