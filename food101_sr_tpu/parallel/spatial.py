@@ -1,0 +1,128 @@
+"""Spatial tiling for whole-image SR inference — the TPU analogue of
+sequence parallelism for this workload (SURVEY §2.2: the reference has no
+parallelism at all; its comparison tool runs one full image at a time,
+reference visualize.py:47-58).
+
+Large images don't fit a single chip's VMEM-friendly shapes, and a batch of
+one wastes the mesh. Instead of halo *exchange* (ppermute'd edge strips
+inside shard_map), we express the halo as *overlap*: the image is cut into
+windows of ``tile + 2*halo`` whose starts clamp at the borders, the windows
+become a plain batch sharded over the ``data`` mesh axis, and each window's
+owned interior is cropped from the model output and stitched back. With
+``halo`` >= the model's receptive-field radius this is exact:
+
+* interior windows: every owned output pixel sees only real pixels that are
+  present in the window;
+* border windows: clamping puts the window edge exactly at the image
+  border, so the model's own zero padding applies at the same place it
+  would in a full-image forward.
+
+This turns spatial parallelism into data parallelism — XLA handles the
+sharding, no collectives are hand-written, and the same jitted forward
+serves both batched-small-image and tiled-large-image inference.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .mesh import data_sharding
+
+# Conservative receptive-field radii at LR resolution, derived from the
+# architecture definitions (reference src/models.py): head conv9 (4) +
+# 2 conv3 per residual block + mid conv3 + upsample/tail convs mapped back
+# to LR pixels, rounded up with margin for the SRCNN-style pre-upsample
+# bicubic support.
+RECEPTIVE_RADIUS = {
+    "SRCNN": 8,          # bicubic support + conv9/conv1/conv5 at HR -> <=8 LR px
+    "RESNET": 48,        # 4 + 16*2 + 1 + tail (~3) = 40, margin to 48
+    "AttentionSR": 80,   # 4 + 32*2 + 1 + tail (~3) = 72, margin to 80
+}
+
+
+def _window_starts(size: int, tile: int, halo: int):
+    """Clamped start offsets of ``tile + 2*halo`` windows covering ``size``."""
+    n = math.ceil(size / tile)
+    win = tile + 2 * halo
+    return [min(max(i * tile - halo, 0), size - win) for i in range(n)], n, win
+
+
+def tiled_apply(
+    forward: Callable[[jnp.ndarray], jnp.ndarray],
+    images: jnp.ndarray,
+    scale: int,
+    tile: int,
+    halo: int,
+    mesh=None,
+) -> jnp.ndarray:
+    """Run ``forward`` (an LR->HR model forward, NHWC) over spatial tiles.
+
+    Args:
+      forward: jitted/jittable fn mapping (N, h, w, C) -> (N, h*scale, w*scale, C).
+      images: (B, H, W, C) LR batch; H and W must be multiples of ``tile``.
+      scale: SR upscale factor.
+      tile: owned tile size in LR pixels (window is tile + 2*halo).
+      halo: overlap in LR pixels; must cover the receptive-field radius
+        (see RECEPTIVE_RADIUS) for exact parity with a full-image forward.
+      mesh: optional 1-D mesh; the window batch is sharded over its first
+        axis so tiles fan out across chips.
+
+    Returns:
+      (B, H*scale, W*scale, C) SR batch.
+    """
+    b, h, w, c = images.shape
+    if h % tile or w % tile:
+        raise ValueError(f"H={h}, W={w} must be multiples of tile={tile}")
+    win_h = min(tile + 2 * halo, h)
+    win_w = min(tile + 2 * halo, w)
+    halo_h = (win_h - tile) // 2
+    halo_w = (win_w - tile) // 2
+    starts_h, nh, win_h = _window_starts(h, tile, halo_h)
+    starts_w, nw, win_w = _window_starts(w, tile, halo_w)
+
+    # Gather overlapping windows: (B, nh, nw, win_h, win_w, C) -> flat batch.
+    rows = jnp.stack([images[:, s : s + win_h] for s in starts_h], axis=1)
+    wins = jnp.stack([rows[:, :, :, s : s + win_w] for s in starts_w], axis=2)
+    flat = wins.reshape(b * nh * nw, win_h, win_w, c)
+    if mesh is not None:
+        flat = jax.device_put(flat, data_sharding(mesh))
+
+    out = forward(flat)  # (b*nh*nw, win_h*scale, win_w*scale, c)
+    out = out.reshape(b, nh, nw, win_h * scale, win_w * scale, c)
+
+    # Crop each window's owned interior. The owned region of tile (i, j)
+    # starts at (i*tile - start_i) inside its window (0 at clamped borders).
+    tiles_out = []
+    for i, sh in enumerate(starts_h):
+        row = []
+        off_h = (i * tile - sh) * scale
+        for j, sw in enumerate(starts_w):
+            off_w = (j * tile - sw) * scale
+            row.append(out[:, i, j,
+                           off_h : off_h + tile * scale,
+                           off_w : off_w + tile * scale])
+        tiles_out.append(jnp.concatenate(row, axis=2))
+    return jnp.concatenate(tiles_out, axis=1)
+
+
+def tiled_forward_for(
+    model,
+    variables,
+    arch: str,
+    scale: int,
+    tile: int = 128,
+    halo: Optional[int] = None,
+    mesh=None,
+):
+    """Convenience wrapper: jitted full-image SR via tiling for a registry
+    model. Returns a fn (B, H, W, C) -> (B, H*s, W*s, C)."""
+    halo = RECEPTIVE_RADIUS.get(arch, 80) if halo is None else halo
+    fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
+
+    def run(images):
+        return tiled_apply(fwd, images, scale, tile, halo, mesh=mesh)
+
+    return run

@@ -19,10 +19,12 @@ def mesh8():
     return cpu_mesh(8)
 
 
-def _state(model, lr_shape, seed=0, lr=1e-3):
+def _state(model, lr_shape, seed=0, lr=1e-3, tx=None):
     variables = model.init({"params": jax.random.PRNGKey(seed)},
                            jnp.zeros(lr_shape, jnp.float32), train=False)
-    return SRTrainState.create(dict(variables), make_adam(lr))
+    import optax
+    tx = tx if tx is not None else make_adam(lr)
+    return SRTrainState.create(dict(variables), tx)
 
 
 def test_dp_train_step_runs_sharded(mesh8):
@@ -45,18 +47,26 @@ def test_dp_train_step_runs_sharded(mesh8):
 def test_dp_matches_single_device(mesh8):
     """Gradient math must be independent of the mesh: one jitted step over
     global arrays gives identical params whether batch is sharded over 8
-    devices or lives on one (global-batch semantics, incl. BatchNorm)."""
+    devices or lives on one (global-batch semantics, incl. BatchNorm).
+
+    Uses SGD so the param delta is *linear* in the gradient: Adam's first
+    step is ~lr*sign(g), which amplifies reduction-order noise on
+    mathematically-zero gradients (conv biases feeding BatchNorm) into
+    +-2*lr jumps."""
+    import optax
+
     model = get_model("RESNET", scale_factor=4)
     hr_np = np.random.default_rng(1).integers(0, 256, (16, 32, 32, 3),
                                               dtype=np.uint8)
     step_fn = make_train_step(model, mse_loss, 4, "input_conv", "output_conv")
+    sgd = lambda: optax.inject_hyperparams(optax.sgd)(learning_rate=1e-2)
 
     # single device
-    s1 = _state(model, (1, 8, 8, 3))
+    s1 = _state(model, (1, 8, 8, 3), tx=sgd())
     s1_new, m1 = jax.jit(step_fn)(s1, jnp.asarray(hr_np))
 
     # 8-device mesh
-    s8 = replicate(_state(model, (1, 8, 8, 3)), mesh8)
+    s8 = replicate(_state(model, (1, 8, 8, 3), tx=sgd()), mesh8)
     hr8 = jax.device_put(hr_np, data_sharding(mesh8))
     s8_new, m8 = jax.jit(step_fn)(s8, hr8)
 
@@ -64,9 +74,10 @@ def test_dp_matches_single_device(mesh8):
                                rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(s1_new.params),
                     jax.tree_util.tree_leaves(s8_new.params)):
-        # cross-device reduction order perturbs the last float bit or two
+        # cross-device reduction order perturbs grads at the 1e-5 level;
+        # SGD passes that through scaled by lr.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-4, rtol=1e-3)
+                                   atol=5e-6, rtol=1e-3)
 
 
 def test_graft_entry_contract():

@@ -1,0 +1,83 @@
+"""Spatial tiling (overlap-as-halo) inference: exact parity with the
+full-image forward, single-device and sharded over the fake 8-device mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from food101_sr_tpu.models import ResNetSR, get_model
+from food101_sr_tpu.parallel import cpu_mesh, tiled_apply
+
+
+def _init(model, shape):
+    return model.init({"params": jax.random.PRNGKey(0)},
+                      jnp.zeros(shape, jnp.float32), train=False)
+
+
+def _img(b, h, w, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).uniform(0, 1, (b, h, w, 3)).astype(np.float32)
+    )
+
+
+def test_tiled_matches_full_resnet_small():
+    """2-block ResNetSR (receptive radius ~12 LR px): halo 16 must give an
+    exact stitch, including the clamped border windows."""
+    model = ResNetSR(scale_factor=4, num_residuals=2, num_channels=16)
+    variables = _init(model, (1, 8, 8, 3))
+    fwd = lambda x: model.apply(variables, x, train=False)
+
+    x = _img(2, 64, 64)
+    full = fwd(x)
+    tiled = tiled_apply(fwd, x, scale=4, tile=16, halo=16)
+    assert tiled.shape == full.shape == (2, 256, 256, 3)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_tiled_matches_full_srcnn():
+    """SRCNN upsamples first (bicubic inside the model); halo 8 covers its
+    HR-space receptive field mapped back to LR."""
+    model = get_model("SRCNN", scale_factor=4)
+    variables = _init(model, (1, 8, 8, 3))
+    fwd = lambda x: model.apply(variables, x, train=False)
+
+    x = _img(1, 48, 48, seed=3)
+    full = fwd(x)
+    tiled = tiled_apply(fwd, x, scale=4, tile=16, halo=8)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_tiled_single_tile_degenerates():
+    model = ResNetSR(scale_factor=2, num_residuals=1, num_channels=8)
+    variables = _init(model, (1, 8, 8, 3))
+    fwd = lambda x: model.apply(variables, x, train=False)
+    x = _img(1, 16, 16, seed=1)
+    np.testing.assert_allclose(
+        np.asarray(tiled_apply(fwd, x, scale=2, tile=16, halo=4)),
+        np.asarray(fwd(x)), atol=1e-6)
+
+
+def test_tiled_sharded_over_mesh():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mesh = cpu_mesh(8)
+    model = ResNetSR(scale_factor=4, num_residuals=2, num_channels=16)
+    variables = _init(model, (1, 8, 8, 3))
+    fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
+
+    x = _img(2, 64, 64, seed=2)
+    full = fwd(x)
+    tiled = tiled_apply(fwd, x, scale=4, tile=16, halo=16, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_tiled_rejects_nondivisible():
+    model = ResNetSR(scale_factor=2, num_residuals=1, num_channels=8)
+    variables = _init(model, (1, 8, 8, 3))
+    fwd = lambda x: model.apply(variables, x, train=False)
+    with pytest.raises(ValueError):
+        tiled_apply(fwd, _img(1, 60, 64), scale=2, tile=16, halo=4)
