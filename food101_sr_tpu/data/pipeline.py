@@ -143,6 +143,12 @@ class SRDataLoader:
     def __len__(self):
         return len(self.indices) // self.batch_size
 
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle/augment seed epoch (torch DistributedSampler
+        convention). The training loop calls this each epoch so a resumed
+        run replays the exact data order of the original."""
+        self._epoch = int(epoch)
+
     def _produce(self, order: np.ndarray, out: queue.Queue, epoch: int):
         rng = np.random.default_rng((self.seed, epoch))
         try:

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.gaussian import depthwise_blur
+from ..ops.pallas_blur import depthwise_blur_fast
 from ..ops.resize import resize_bilinear_torch
 
 
@@ -22,7 +22,9 @@ def laplacian_pyramid(img: jnp.ndarray, n_levels: int = 4):
     pyramid = []
     current = img
     for _ in range(n_levels):
-        blurred = depthwise_blur(current, size=5, sigma=1.0)
+        # Pallas VPU kernel on TPU (2.5x the XLA depthwise conv at 200x200),
+        # XLA conv elsewhere — numerics identical to ~3e-7.
+        blurred = depthwise_blur_fast(current, size=5, sigma=1.0)
         down = blurred[:, ::2, ::2, :]
         up = resize_bilinear_torch(down, current.shape[1], current.shape[2])
         pyramid.append(current - up)

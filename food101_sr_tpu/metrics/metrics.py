@@ -50,10 +50,14 @@ def _gaussian_window(kernel_size: int, sigma: float) -> np.ndarray:
 def _depthwise_valid(x: jnp.ndarray, k2d: jnp.ndarray) -> jnp.ndarray:
     c = x.shape[-1]
     kernel = jnp.tile(k2d[:, :, None, None], (1, 1, 1, c))
+    # HIGHEST precision is required: TPU convs default to bf16 inputs, and
+    # sigma = E[x^2] - E[x]^2 below cancels catastrophically at bf16,
+    # producing SSIM > 1.
     return lax.conv_general_dilated(
         x, kernel, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=lax.Precision.HIGHEST,
     )
 
 

@@ -51,7 +51,7 @@ class VGG19Features(nn.Module):
         for bi, (feat, n_convs) in enumerate(_VGG19_BLOCKS):
             for ci in range(n_convs):
                 x = nn.Conv(
-                    feat, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    feat, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, precision="highest",
                     name=f"conv_{conv_idx}",
                 )(x)
                 conv_idx += 1
@@ -74,24 +74,24 @@ class AlexNetFeatures(nn.Module):
     def __call__(self, x):
         taps = []
         x = nn.Conv(64, (11, 11), strides=(4, 4), padding=((2, 2), (2, 2)),
-                    dtype=self.dtype, name="conv_0")(x)
+                    dtype=self.dtype, precision="highest", name="conv_0")(x)
         x = nn.relu(x)
         taps.append(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = nn.Conv(192, (5, 5), padding=((2, 2), (2, 2)), dtype=self.dtype,
+        x = nn.Conv(192, (5, 5), padding=((2, 2), (2, 2)), dtype=self.dtype, precision="highest",
                     name="conv_1")(x)
         x = nn.relu(x)
         taps.append(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = nn.Conv(384, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+        x = nn.Conv(384, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, precision="highest",
                     name="conv_2")(x)
         x = nn.relu(x)
         taps.append(x)
-        x = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+        x = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, precision="highest",
                     name="conv_3")(x)
         x = nn.relu(x)
         taps.append(x)
-        x = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+        x = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, precision="highest",
                     name="conv_4")(x)
         x = nn.relu(x)
         taps.append(x)

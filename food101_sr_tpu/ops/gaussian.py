@@ -41,4 +41,7 @@ def depthwise_blur(x: jnp.ndarray, size: int = 5, sigma: float = 1.0) -> jnp.nda
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        # fp32 conv precision on TPU (default would downcast to bf16 and
+        # break torch-parity of NLPD pyramid levels)
+        precision=lax.Precision.HIGHEST,
     ).astype(x.dtype)

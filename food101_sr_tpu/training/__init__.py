@@ -1,4 +1,6 @@
-from .checkpoint import load_checkpoint, save_checkpoint, warm_start_params
+from .checkpoint import (load_checkpoint, load_train_checkpoint,
+                         save_checkpoint, save_train_checkpoint,
+                         warm_start_params)
 from .loop import DEFAULTS, train
 from .schedule import EarlyStopping, ReduceLROnPlateau
 from .state import SRTrainState, make_adam
@@ -18,6 +20,7 @@ __all__ = [
     "SRTrainState",
     "add_noise",
     "load_checkpoint",
+    "load_train_checkpoint",
     "make_adam",
     "make_eval_step",
     "make_forward",
@@ -25,6 +28,7 @@ __all__ = [
     "make_gan_g_step",
     "make_train_step",
     "save_checkpoint",
+    "save_train_checkpoint",
     "train",
     "warm_start_params",
 ]

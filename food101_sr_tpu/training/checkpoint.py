@@ -38,6 +38,63 @@ def load_checkpoint(path: str, target: Any = None) -> Any:
     return ckpt.restore(path)
 
 
+def save_train_checkpoint(state: Any, epoch: int, scheduler, stopper,
+                          path: str, d_state: Any = None) -> str:
+    """Preemption-resume checkpoint: the FULL train state (params + extra
+    collections + optimizer state + step) plus host-side control state
+    (epoch, plateau scheduler, early stopper). The reference's checkpoints
+    are weights-only and silently restart the schedule on warm start
+    (reference train.py:52-53; SURVEY §5 checkpoint row) — on TPU slices,
+    periodic full-state checkpoints are the failure-recovery mechanism."""
+    tree = {
+        "g": _state_tree(state),
+        "host": {
+            "epoch": np.asarray(epoch, np.int32),
+            "scheduler": {k: np.asarray(v)
+                          for k, v in scheduler.state_dict().items()},
+            "stopper": {k: np.asarray(v)
+                        for k, v in stopper.state_dict().items()},
+        },
+    }
+    if d_state is not None:  # GAN runs carry the discriminator too
+        tree["d"] = _state_tree(d_state)
+    return save_checkpoint(tree, path)
+
+
+def load_train_checkpoint(path: str, state: Any, scheduler, stopper,
+                          d_state: Any = None):
+    """Restore a ``save_train_checkpoint`` checkpoint into freshly-built
+    states (same model/optimizer config). Returns
+    (state, d_state_or_None, next_epoch)."""
+    target = {
+        "g": _state_tree(state),
+        "host": {
+            "epoch": np.asarray(0, np.int32),
+            "scheduler": {k: np.asarray(v)
+                          for k, v in scheduler.state_dict().items()},
+            "stopper": {k: np.asarray(v)
+                        for k, v in stopper.state_dict().items()},
+        },
+    }
+    if d_state is not None:
+        target["d"] = _state_tree(d_state)
+    tree = load_checkpoint(path, target)
+    scheduler.load_state_dict(tree["host"]["scheduler"])
+    stopper.load_state_dict(tree["host"]["stopper"])
+    new_state = state.replace(**tree["g"])
+    new_d = d_state.replace(**tree["d"]) if d_state is not None else None
+    return new_state, new_d, int(tree["host"]["epoch"]) + 1
+
+
+def _state_tree(state) -> dict:
+    return {
+        "step": state.step,
+        "params": state.params,
+        "extra": state.extra,
+        "opt_state": state.opt_state,
+    }
+
+
 def warm_start_params(init_params: Any, loaded_params: Any) -> Any:
     """strict=False-style warm start (reference train.py:52-53): take loaded
     leaves where path+shape match the freshly-initialized tree, keep the

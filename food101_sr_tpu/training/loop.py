@@ -30,7 +30,13 @@ from ..metrics import MetricsCalculator
 from ..models import Discriminator, get_model
 from ..parallel import data_sharding, make_mesh, replicate
 from ..utils import RunLogger
-from .checkpoint import load_checkpoint, save_checkpoint, warm_start_params
+from .checkpoint import (
+    load_checkpoint,
+    load_train_checkpoint,
+    save_checkpoint,
+    save_train_checkpoint,
+    warm_start_params,
+)
 from .diagnostics import FIRST_LAST
 from .schedule import EarlyStopping, ReduceLROnPlateau
 from .state import SRTrainState, make_adam
@@ -65,6 +71,7 @@ DEFAULTS: dict[str, Any] = {
     "d_update_every": 5,
     "use_wandb": None,
     "run_name": None,
+    "resume": "",               # path to a *_last full-state checkpoint
 }
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
@@ -126,6 +133,15 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
     train_loader = _loader(train_source, train_idx, True)
     val_loader = _loader(train_source, val_idx, False)
     test_loader = _loader(test_source, test_idx, False)
+    for name, loader in (("train", train_loader), ("val", val_loader),
+                         ("test", test_loader)):
+        if len(loader) == 0:
+            raise ValueError(
+                f"{name} loader yields zero batches: {len(loader.indices)} "
+                f"samples can't fill a batch of {loader.batch_size} "
+                f"(mesh of {n_dev} devices needs a multiple of {n_dev}). "
+                f"Increase the dataset/subset or shrink batch_size."
+            )
 
     # --- model & states ---------------------------------------------------
     model = get_model(cfg["architecture"], scale_factor=scale, dtype=dtype)
@@ -141,7 +157,7 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
         )
 
     g_tx = make_adam(float(cfg["lr"]), clip_norm=1.0 if is_gan else None)
-    g_state = replicate(SRTrainState.create(dict(variables), g_tx), mesh)
+    g_state_raw = SRTrainState.create(dict(variables), g_tx)
 
     first, last = FIRST_LAST[cfg["architecture"]]
     loss_name = "mae" if is_gan else cfg["loss_function"]
@@ -152,7 +168,7 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
     )
     eval_step = jax.jit(make_eval_step(model, criterion, scale))
 
-    d_state = d_step = g_gan_step = None
+    d_state_raw = d_step = g_gan_step = None
     if is_gan:
         d_model = Discriminator(dtype=dtype)
         d_vars = d_model.init(
@@ -160,7 +176,7 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
             jnp.zeros((1, crop, crop, 3), jnp.float32), train=False,
         )
         d_tx = make_adam(float(cfg["lr"]) * 0.1)
-        d_state = replicate(SRTrainState.create(dict(d_vars), d_tx), mesh)
+        d_state_raw = SRTrainState.create(dict(d_vars), d_tx)
         percep = get_loss_function("perceptual", weights_dir=cfg["weights_dir"])
         d_step = jax.jit(make_gan_d_step(model, d_model, scale),
                          donate_argnums=1)
@@ -176,10 +192,25 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
                                   patience=2)
     stopper = EarlyStopping(patience=int(cfg["patience"]))
     ckpt_path = os.path.join(cfg["weights_dir"], f"{cfg['save_name']}_best")
+    last_path = os.path.join(cfg["weights_dir"], f"{cfg['save_name']}_last")
     noise_rng = jax.random.PRNGKey(cfg["seed"] + 3)
 
+    # --- preemption resume (full state incl. optimizer + host control) ----
+    start_epoch = 0
+    if cfg["resume"]:
+        g_state_raw, d_state_raw, start_epoch = load_train_checkpoint(
+            cfg["resume"], g_state_raw, scheduler, stopper, d_state_raw
+        )
+        print(f"Resumed from {cfg['resume']} at epoch {start_epoch} "
+              f"(step {int(g_state_raw.step)}, lr {scheduler.lr})")
+    g_state = replicate(g_state_raw, mesh)
+    g_state = g_state.set_learning_rate(scheduler.lr)
+    d_state = replicate(d_state_raw, mesh) if d_state_raw is not None else None
+    del g_state_raw, d_state_raw
+
     # --- epoch loop --------------------------------------------------------
-    for epoch in range(int(cfg["epochs"])):
+    for epoch in range(start_epoch, int(cfg["epochs"])):
+        train_loader.set_epoch(epoch)  # resume replays exact data order
         d_metrics = {}
         for batch_idx, hr_u8 in enumerate(train_loader):
             if is_gan:
@@ -214,6 +245,9 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
             save_checkpoint({"params": g_state.params, "extra": g_state.extra},
                             ckpt_path)
             logger.save(ckpt_path)
+        # rolling full-state checkpoint for preemption resume (--resume)
+        save_train_checkpoint(g_state, epoch, scheduler, stopper, last_path,
+                              d_state=d_state)
         if stopper.should_stop:
             print("Early stopping triggered")
             break

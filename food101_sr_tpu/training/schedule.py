@@ -42,6 +42,14 @@ class ReduceLROnPlateau:
             self.num_bad = 0
         return self.lr
 
+    def state_dict(self) -> dict:
+        return {"lr": self.lr, "best": self.best, "num_bad": self.num_bad}
+
+    def load_state_dict(self, state: dict):
+        self.lr = float(state["lr"])
+        self.best = float(state["best"])
+        self.num_bad = int(state["num_bad"])
+
 
 class EarlyStopping:
     """Best-metric patience counter (reference train.py:174-183)."""
@@ -63,3 +71,10 @@ class EarlyStopping:
     @property
     def should_stop(self) -> bool:
         return self.counter >= self.patience
+
+    def state_dict(self) -> dict:
+        return {"best": self.best, "counter": self.counter}
+
+    def load_state_dict(self, state: dict):
+        self.best = float(state["best"])
+        self.counter = int(state["counter"])

@@ -6,8 +6,11 @@ implications: numerics goldens on CPU, plus "distributed" tests on a faked
 """
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force (not setdefault): the
+# shell environment exports JAX_PLATFORMS=axon (the remote-TPU tunnel), and
+# tests must be hermetic on CPU — otherwise backend-dispatched ops (e.g.
+# ops.pallas_blur.depthwise_blur_fast) route through the tunnel and hang.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,10 +22,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# The TPU plugin in this environment force-registers itself even when
-# JAX_PLATFORMS=cpu; pin computation to the (8 virtual) CPU devices so tests
-# are hermetic and the fake 8-device mesh is available.
-try:
-    jax.config.update("jax_default_device", jax.devices("cpu")[0])
-except RuntimeError:
-    pass
+# The axon TPU plugin in this environment IGNORES the JAX_PLATFORMS env var
+# (it re-registers at import), so jax.devices() would still return the real
+# TPU and anything mesh-shaped (make_mesh, train()) would run through the
+# remote tunnel. The config route does work — this makes tests genuinely
+# CPU-hermetic with the 8 virtual devices.
+jax.config.update("jax_platforms", "cpu")

@@ -188,12 +188,14 @@ def test_end_to_end_srcnn_x2_synthetic(tmp_path):
     cfg = {
         "architecture": "SRCNN",
         "dataset": "synthetic",
-        "synthetic_size": 48,
+        # 96 images -> val split 10 >= the 8-device test mesh (smaller and
+        # the val loader can't fill one evenly-sharded batch)
+        "synthetic_size": 96,
         "crop_size": 96,
         "scale_factor": 2,
         "batch_size": 16,
         "lr": 1e-3,
-        "epochs": 2,
+        "epochs": 3,
         "loss_function": "mse",
         "subset": 1.0,
         "patience": 5,
@@ -205,5 +207,7 @@ def test_end_to_end_srcnn_x2_synthetic(tmp_path):
     }
     final = train(cfg)
     assert set(final) == {"psnr", "ssim", "lpips", "nlpd"}
+    # ~10 steps of SRCNN x2 from scratch: well above a garbage output
+    # (threshold calibrated on CPU fp32 numerics, seed 0)
     assert final["psnr"] > 10.0
     assert os.path.isdir(os.path.join(cfg["weights_dir"], "srcnn_test_best"))

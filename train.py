@@ -33,6 +33,9 @@ def parse_args():
     p.add_argument("--weights_dir", type=str, default=DEFAULTS["weights_dir"])
     p.add_argument("--log_every", type=int, default=DEFAULTS["log_every"])
     p.add_argument("--run_name", type=str, default=None)
+    p.add_argument("--resume", type=str, default=DEFAULTS["resume"],
+                   help="path to a {save_name}_last full-state checkpoint "
+                        "(params + optimizer + scheduler + epoch)")
     return p.parse_args()
 
 
