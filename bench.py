@@ -189,7 +189,66 @@ def bench_torch_reference() -> float | None:
     return ips
 
 
+def bench_train_step(batch: int = 64) -> float:
+    """Supervised train-step throughput (AttentionSR + NLPD + Adam +
+    in-graph diagnostics + on-device uint8 degradation) — the full hot
+    path of ``train.py``. Same honest-timing scheme as bench_tpu."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from food101_sr_tpu.losses import nlpd_loss
+    from food101_sr_tpu.models import get_model
+    from food101_sr_tpu.training import SRTrainState, make_adam, make_train_step
+
+    model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, LR_SIZE, LR_SIZE, 3), jnp.float32),
+        train=False,
+    )
+    state = SRTrainState.create(dict(variables), make_adam(1e-4))
+    step = jax.jit(make_train_step(model, nlpd_loss, SCALE,
+                                   "input_conv", "output_conv"))
+    hr = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (batch, LR_SIZE * SCALE, LR_SIZE * SCALE, 3), dtype=np.uint8))
+    total = jax.jit(jnp.sum)
+
+    t = time.perf_counter()
+    state, m = step(state, hr)
+    float(total(m["train_loss"]))
+    log(f"train-step compile+warmup: {time.perf_counter()-t:.1f}s")
+
+    def timed(n):
+        best = float("inf")
+        nonlocal state
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, m = step(state, hr)
+            float(total(m["train_loss"]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short, t_long = timed(N_SHORT), timed(N_LONG)
+    per_step = (t_long - t_short) / (N_LONG - N_SHORT)
+    ips = batch / per_step
+    log(f"train: {ips:.1f} images/sec  ({per_step*1e3:.2f} ms / step, batch {batch})")
+    return ips
+
+
 def main():
+    if "--train" in sys.argv:
+        # extra mode (not the driver's headline): full train-step throughput;
+        # no torch-side NLPD train baseline, so vs_baseline is omitted.
+        ours = bench_train_step()
+        print(json.dumps({
+            "metric": "attentionsr_x4_train_throughput",
+            "value": round(ours, 1),
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+        }))
+        return
     ours = bench_tpu()
     baseline = bench_torch_reference()
     if baseline is None:

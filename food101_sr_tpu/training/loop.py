@@ -217,7 +217,7 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
                 if batch_idx % int(cfg["d_update_every"]) == 0:
                     noise_rng, sub = jax.random.split(noise_rng)
                     d_state, d_metrics = d_step(g_state, d_state, hr_u8, sub)
-                g_state, metrics = g_gan_step(g_state, d_state, hr_u8)
+                g_state, d_state, metrics = g_gan_step(g_state, d_state, hr_u8)
             else:
                 g_state, metrics = train_step(g_state, hr_u8)
 
