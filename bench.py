@@ -22,7 +22,7 @@ import json
 import sys
 import time
 
-BATCH = 256
+BATCH = 512  # +2% over 256, flat beyond (measured: 2546 -> 2600 img/s)
 LR_SIZE = 50
 SCALE = 4
 N_SHORT, N_LONG = 5, 25
