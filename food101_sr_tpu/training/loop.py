@@ -17,6 +17,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # reference parity: tqdm bars around the hot loops (train.py:77,190)
+    from tqdm import tqdm
+except ImportError:  # pragma: no cover
+    def tqdm(it, **_kw):
+        return it
+
 from ..data import (
     Food101Source,
     SRDataLoader,
@@ -212,7 +218,9 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
     for epoch in range(start_epoch, int(cfg["epochs"])):
         train_loader.set_epoch(epoch)  # resume replays exact data order
         d_metrics = {}
-        for batch_idx, hr_u8 in enumerate(train_loader):
+        bar = tqdm(train_loader, total=len(train_loader),
+                   desc=f"Epoch {epoch + 1}/{cfg['epochs']}", leave=False)
+        for batch_idx, hr_u8 in enumerate(bar):
             if is_gan:
                 if batch_idx % int(cfg["d_update_every"]) == 0:
                     noise_rng, sub = jax.random.split(noise_rng)
@@ -263,7 +271,8 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
         params, extra = g_state.params, g_state.extra
 
     test_metrics = {"psnr": [], "ssim": [], "lpips": [], "nlpd": []}
-    for hr_u8 in test_loader:
+    for hr_u8 in tqdm(test_loader, total=len(test_loader),
+                      desc="Testing", leave=False):
         lr_img, hr = prepare_batch(hr_u8, scale)
         sr = forward(params, extra, lr_img)
         batch_res = metrics_calc.compute(sr, hr)
