@@ -78,6 +78,8 @@ DEFAULTS: dict[str, Any] = {
     "use_wandb": None,
     "run_name": None,
     "resume": "",               # path to a *_last full-state checkpoint
+    "profile_steps": 0,         # >0: jax.profiler trace of that many steps
+    "profile_dir": "runs/profile",
 }
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
@@ -220,7 +222,18 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
         d_metrics = {}
         bar = tqdm(train_loader, total=len(train_loader),
                    desc=f"Epoch {epoch + 1}/{cfg['epochs']}", leave=False)
+        profile_steps = int(cfg["profile_steps"]) if epoch == start_epoch else 0
+        profiling = False
         for batch_idx, hr_u8 in enumerate(bar):
+            # device-level tracing (SURVEY §5 tracing row): profile steps
+            # [1, 1+N) of the first epoch into a TensorBoard-readable trace
+            if profile_steps and batch_idx == 1:  # step 0 is the compile
+                jax.profiler.start_trace(cfg["profile_dir"])
+                profiling = True
+            if profiling and batch_idx == 1 + profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"Wrote device trace to {cfg['profile_dir']}")
             if is_gan:
                 if batch_idx % int(cfg["d_update_every"]) == 0:
                     noise_rng, sub = jax.random.split(noise_rng)
@@ -233,6 +246,9 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
                 log_data = {k: float(v) for k, v in metrics.items()}
                 log_data.update({k: float(v) for k, v in d_metrics.items()})
                 logger.log(log_data)
+        if profiling:  # epoch shorter than the requested trace window
+            jax.profiler.stop_trace()
+            print(f"Wrote device trace to {cfg['profile_dir']}")
 
         # --- validation ----------------------------------------------------
         psnrs, losses = [], []

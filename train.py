@@ -36,6 +36,11 @@ def parse_args():
     p.add_argument("--resume", type=str, default=DEFAULTS["resume"],
                    help="path to a {save_name}_last full-state checkpoint "
                         "(params + optimizer + scheduler + epoch)")
+    p.add_argument("--profile_steps", type=int,
+                   default=DEFAULTS["profile_steps"],
+                   help="trace this many train steps (first epoch) with "
+                        "jax.profiler into --profile_dir")
+    p.add_argument("--profile_dir", type=str, default=DEFAULTS["profile_dir"])
     return p.parse_args()
 
 
