@@ -21,8 +21,10 @@ we keep the same shapes but seed them (SURVEY §7 quirk list).
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Sequence
 
 import jax
@@ -126,6 +128,7 @@ class SRDataLoader:
         seed: int = 0,
         prefetch: int = 4,
         sharding=None,
+        num_workers: Optional[int] = None,  # None -> one per CPU core (<=16)
     ):
         self.source = source
         self.indices = np.asarray(
@@ -138,6 +141,9 @@ class SRDataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.sharding = sharding
+        if num_workers is None:
+            num_workers = min(16, os.cpu_count() or 1)
+        self.num_workers = max(1, int(num_workers))
         self._epoch = 0
 
     def __len__(self):
@@ -150,17 +156,26 @@ class SRDataLoader:
         self._epoch = int(epoch)
 
     def _produce(self, order: np.ndarray, out: queue.Queue, epoch: int):
-        rng = np.random.default_rng((self.seed, epoch))
+        """Assemble batches with a thread pool: PIL decode/resize release the
+        GIL, so parallel workers multiply host throughput (the reference runs
+        num_workers=0, fully serial — SURVEY §7 quirk list). Augmentation RNG
+        is derived per (seed, epoch, position), so results are deterministic
+        regardless of worker scheduling and stable across resume."""
+
+        def one(pos_and_idx):
+            pos, i = pos_and_idx
+            rng = np.random.default_rng((self.seed, epoch, int(pos)))
+            return load_hr_crop(self.source[int(i)], self.crop_size,
+                                self.train, rng)
+
         try:
-            for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
-                idx = order[start : start + self.batch_size]
-                batch = np.stack(
-                    [
-                        load_hr_crop(self.source[int(i)], self.crop_size, self.train, rng)
-                        for i in idx
-                    ]
-                )
-                out.put(batch)
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for start in range(0, len(order) - self.batch_size + 1,
+                                   self.batch_size):
+                    idx = order[start : start + self.batch_size]
+                    batch = np.stack(list(pool.map(
+                        one, enumerate(idx, start=start))))
+                    out.put(batch)
         finally:
             out.put(None)
 

@@ -120,3 +120,18 @@ def test_loader_eval_drops_remainder_and_is_ordered():
     rng = np.random.default_rng(0)
     want0 = load_hr_crop(src[0], 32, train=False, rng=rng)
     np.testing.assert_array_equal(np.asarray(batches[0][0]), want0)
+
+
+def test_loader_deterministic_across_worker_counts():
+    """Parallel batch assembly must not change the data: per-sample RNG is
+    derived from (seed, epoch, position), not worker scheduling."""
+    import numpy as np
+    from food101_sr_tpu.data import SRDataLoader, SyntheticSource
+
+    src = SyntheticSource(n=24, seed=0)
+    a = SRDataLoader(src, crop_size=32, batch_size=8, train=True, seed=5,
+                     num_workers=1)
+    b = SRDataLoader(src, crop_size=32, batch_size=8, train=True, seed=5,
+                     num_workers=8)
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(ba), np.asarray(bb))
