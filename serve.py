@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Inference server: HTTP POST an image, get the x4 super-resolved PNG back.
+
+The reference has no serving path (its closest analogue is the offline
+comparison script, reference visualize.py); this is the production-facing
+counterpart: one process owns the chip, the model + checkpoint load once,
+forwards are jitted, and large inputs route through the exact spatial
+tiling path (food101_sr_tpu.parallel.spatial) so arbitrary image sizes run
+in a handful of compiled shapes.
+
+    python serve.py --architecture AttentionSR --checkpoint weights/attentionsr_run_best &
+    curl --data-binary @low_res.png http://localhost:8700/sr > out.png
+    curl http://localhost:8700/healthz
+
+Stdlib-only (http.server + PIL + jax): no web-framework dependency to
+provision on a TPU VM.
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from food101_sr_tpu.models import get_model
+from food101_sr_tpu.parallel.spatial import RECEPTIVE_RADIUS, tiled_apply
+from food101_sr_tpu.training import load_checkpoint
+
+
+class SRServer:
+    def __init__(self, architecture: str, checkpoint: str | None,
+                 scale: int = 4, tile: int = 64, dtype=jnp.bfloat16):
+        self.arch = architecture
+        self.scale = scale
+        self.tile = tile
+        self.halo = RECEPTIVE_RADIUS.get(architecture, 80)
+        self.model = get_model(architecture, scale_factor=scale, dtype=dtype)
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 16, 16, 3), jnp.float32), train=False)
+        if checkpoint:
+            tree = {"params": variables["params"],
+                    "extra": {k: v for k, v in variables.items()
+                              if k != "params"}}
+            loaded = load_checkpoint(checkpoint, tree)
+            self.variables = {"params": loaded["params"], **loaded["extra"]}
+        else:
+            self.variables = variables  # random weights (smoke/serving test)
+        self._fwd = jax.jit(lambda x: jnp.clip(
+            self.model.apply(self.variables, x, train=False), 0.0, 1.0))
+        self._lock = threading.Lock()  # one chip, one queue
+        self.n_served = 0
+
+    def upscale(self, img: Image.Image) -> Image.Image:
+        x = np.asarray(img.convert("RGB"), np.float32) / 255.0
+        h, w = x.shape[:2]
+        # pad to a multiple of the tile so tiled_apply sees uniform shapes;
+        # crop the output back.
+        ph, pw = (-h) % self.tile, (-w) % self.tile
+        xp = np.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")[None]
+        with self._lock:
+            if max(xp.shape[1], xp.shape[2]) <= self.tile + 2 * self.halo:
+                out = self._fwd(jnp.asarray(xp))
+            else:
+                out = tiled_apply(self._fwd, jnp.asarray(xp), self.scale,
+                                  self.tile, self.halo)
+            out = np.asarray(out[0])
+            self.n_served += 1
+        out = out[: h * self.scale, : w * self.scale]
+        return Image.fromarray((out * 255.0 + 0.5).astype(np.uint8))
+
+
+def make_handler(server: SRServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                info = {"status": "ok", "architecture": server.arch,
+                        "scale": server.scale, "served": server.n_served,
+                        "device": jax.devices()[0].platform}
+                self._send(200, json.dumps(info).encode(), "application/json")
+            else:
+                self._send(404, b"not found; POST an image to /sr", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/sr":
+                self._send(404, b"POST to /sr", "text/plain")
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if length == 0 or length > 64 << 20:
+                self._send(413 if length else 400,
+                           b"image body required (<=64MB)", "text/plain")
+                return
+            data = self.rfile.read(length)
+            try:
+                img = Image.open(io.BytesIO(data))
+                img.load()
+            except Exception:
+                self._send(400, b"could not decode image", "text/plain")
+                return
+            t0 = time.perf_counter()
+            sr = server.upscale(img)
+            dt = (time.perf_counter() - t0) * 1e3
+            buf = io.BytesIO()
+            sr.save(buf, format="PNG")
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(buf.getbuffer().nbytes))
+            self.send_header("X-Inference-Ms", f"{dt:.1f}")
+            self.end_headers()
+            self.wfile.write(buf.getvalue())
+
+    return Handler
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--architecture", default="AttentionSR")
+    p.add_argument("--checkpoint", default="",
+                   help="orbax checkpoint dir; empty = random init (smoke)")
+    p.add_argument("--scale_factor", type=int, default=4)
+    p.add_argument("--tile", type=int, default=64)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8700)
+    a = p.parse_args()
+
+    srv = SRServer(a.architecture, a.checkpoint or None, a.scale_factor, a.tile)
+    httpd = ThreadingHTTPServer((a.host, a.port), make_handler(srv))
+    print(f"serving {a.architecture} x{a.scale_factor} on "
+          f"http://{a.host}:{a.port}  (POST /sr, GET /healthz)")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Serving path: SRServer core (upscale sizes/tiling) without binding a
+socket, plus one real HTTP round-trip against a live server."""
+import io
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def _img(w, h, seed=0):
+    arr = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    return Image.fromarray(arr)
+
+
+@pytest.fixture(scope="module")
+def server():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import serve
+    import jax.numpy as jnp
+
+    return serve.SRServer("SRCNN", None, scale=4, tile=32, dtype=jnp.float32)
+
+
+def test_upscale_small_image(server):
+    out = server.upscale(_img(20, 12))
+    assert out.size == (80, 48)
+
+
+def test_upscale_nonmultiple_size_tiled(server):
+    # bigger than tile+2*halo -> goes through tiled_apply; odd size -> padding
+    out = server.upscale(_img(70, 50, seed=1))
+    assert out.size == (280, 200)
+
+
+def test_http_roundtrip(server):
+    import serve
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.make_handler(server))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # health
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert b'"status": "ok"' in r.read()
+        # SR round trip
+        buf = io.BytesIO()
+        _img(24, 16, seed=2).save(buf, format="PNG")
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/sr",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            assert "X-Inference-Ms" in r.headers
+            out = Image.open(io.BytesIO(r.read()))
+            assert out.size == (96, 64)
+        # garbage body -> 400
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/sr",
+                                     data=b"not an image", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
