@@ -68,10 +68,19 @@ if __name__ == "__main__":
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dataset", default=None, help="override dataset")
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="generic config override (repeatable), e.g. "
+                        "--set subset=1.0 --set batch_size=8")
     a = p.parse_args()
     overrides = {}
     if a.dataset:
         overrides["dataset"] = a.dataset
     if a.epochs:
         overrides["epochs"] = a.epochs
+    for kv in a.set:
+        k, _, v = kv.partition("=")
+        try:
+            overrides[k] = json.loads(v)
+        except json.JSONDecodeError:
+            overrides[k] = v
     run_sweep(a.sweep_yaml, a.trials, a.seed, overrides)
