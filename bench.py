@@ -189,7 +189,9 @@ def bench_torch_reference() -> float | None:
     return ips
 
 
-def bench_train_step(batch: int = 64) -> float:
+def bench_train_step(batch: int = 128) -> float:
+    # batch sweep on v5e: 64 -> 664 img/s, 128 -> 985, 256 -> 900 (VMEM
+    # pressure past 128); 128 is the knee.
     """Supervised train-step throughput (AttentionSR + NLPD + Adam +
     in-graph diagnostics + on-device uint8 degradation) — the full hot
     path of ``train.py``. Same honest-timing scheme as bench_tpu."""

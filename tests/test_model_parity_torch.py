@@ -239,3 +239,84 @@ def test_srcnn_full_parity():
     x = np.random.default_rng(5).uniform(0, 1, (2, 10, 10, 3)).astype(np.float32)
     np.testing.assert_allclose(
         _fwd_flax(model, variables, x), _fwd_torch(t, x), atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Discriminator (spectral norm) vs torch.nn.utils.spectral_norm
+# ---------------------------------------------------------------------------
+
+class TorchDiscriminator(tnn.Module):
+    """Reference critic (reference src/models.py:191-217) using torch's own
+    spectral_norm so the test validates our power-iteration semantics
+    against torch ground truth, not a re-implementation."""
+
+    def __init__(self, nf=16):
+        super().__init__()
+        sn = tnn.utils.spectral_norm
+        self.b0 = sn(tnn.Conv2d(3, nf, 3, 1, 1))
+        self.b1 = sn(tnn.Conv2d(nf, nf * 2, 3, 2, 1, bias=False))
+        self.bn1 = tnn.BatchNorm2d(nf * 2)
+        self.b2 = sn(tnn.Conv2d(nf * 2, nf * 4, 3, 2, 1, bias=False))
+        self.bn2 = tnn.BatchNorm2d(nf * 4)
+        self.b3 = sn(tnn.Conv2d(nf * 4, nf * 8, 3, 2, 1, bias=False))
+        self.bn3 = tnn.BatchNorm2d(nf * 8)
+        self.fc1 = sn(tnn.Linear(nf * 8, 100))
+        self.fc2 = sn(tnn.Linear(100, 1))
+
+    def forward(self, x):
+        a = lambda t: F.leaky_relu(t, 0.2)
+        x = a(self.b0(x))
+        x = a(self.bn1(self.b1(x)))
+        x = a(self.bn2(self.b2(x)))
+        x = a(self.bn3(self.b3(x)))
+        x = x.mean(dim=(2, 3))
+        return self.fc2(a(self.fc1(x)))
+
+
+def _set_sn_conv(tconv, fp, fs):
+    """Map a flax SNConv {params: {sn/kernel, bias?}, spectral: {sn/{u,v}}}
+    onto torch spectral_norm state (weight_orig/weight_u/weight_v)."""
+    k = np.asarray(fp["sn"]["kernel"])  # HWIO
+    kh, kw, cin, cout = k.shape
+    tconv.weight_orig.data = torch.from_numpy(np.transpose(k, (3, 2, 0, 1)).copy())
+    tconv.weight_u.data = torch.from_numpy(np.asarray(fs["sn"]["u"]).copy())
+    # flax v is indexed by flat (kh, kw, cin); torch's by flat (cin, kh, kw)
+    v = np.asarray(fs["sn"]["v"]).reshape(kh, kw, cin).transpose(2, 0, 1).ravel()
+    tconv.weight_v.data = torch.from_numpy(v.copy())
+    if hasattr(tconv, "bias") and tconv.bias is not None and "bias" in fp:
+        tconv.bias.data = torch.from_numpy(np.asarray(fp["bias"]).copy())
+
+
+def _set_sn_linear(tlin, fp, fs):
+    k = np.asarray(fp["sn"]["kernel"])  # (in, out)
+    tlin.weight_orig.data = torch.from_numpy(k.T.copy())
+    tlin.weight_u.data = torch.from_numpy(np.asarray(fs["sn"]["u"]).copy())
+    tlin.weight_v.data = torch.from_numpy(np.asarray(fs["sn"]["v"]).copy())
+    tlin.bias.data = torch.from_numpy(np.asarray(fp["bias"]).copy())
+
+
+def test_discriminator_full_parity():
+    from food101_sr_tpu.models import Discriminator
+
+    model = Discriminator(nf=16)
+    variables = model.init({"params": jax.random.PRNGKey(6)},
+                           jnp.zeros((1, 32, 32, 3), jnp.float32), train=False)
+    p, sp = variables["params"], variables["spectral"]
+    stats = variables["batch_stats"]
+
+    t = TorchDiscriminator(nf=16)
+    _set_sn_conv(t.b0, p["block_0"], sp["block_0"])
+    for i, (conv, bn) in enumerate(((t.b1, t.bn1), (t.b2, t.bn2),
+                                    (t.b3, t.bn3)), start=1):
+        _set_sn_conv(conv, p[f"block_{i}"], sp[f"block_{i}"])
+        _set_bn(bn, p[f"bn_{i}"], stats[f"bn_{i}"])
+    _set_sn_linear(t.fc1, p["fc1"], sp["fc1"])
+    _set_sn_linear(t.fc2, p["fc2"], sp["fc2"])
+    t.eval()
+
+    x = np.random.default_rng(8).uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    out_f = _fwd_flax(model, variables, x)  # (N, 1) logits
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+    with torch.no_grad():
+        out_t = t(xt).numpy()
+    np.testing.assert_allclose(out_f, out_t, atol=1e-4, rtol=1e-4)
