@@ -211,3 +211,46 @@ def test_end_to_end_srcnn_x2_synthetic(tmp_path):
     # (threshold calibrated on CPU fp32 numerics, seed 0)
     assert final["psnr"] > 10.0
     assert os.path.isdir(os.path.join(cfg["weights_dir"], "srcnn_test_best"))
+
+
+def test_train_step_bfloat16_dtype():
+    """--dtype bfloat16 path: compute in bf16 (fp32 params), finite loss,
+    loss decreases over a few steps."""
+    model = get_model("SRCNN", scale_factor=2, dtype=jnp.bfloat16)
+    state = _make_state(model, (1, 16, 16, 3), lr=1e-3)
+    step = jax.jit(make_train_step(model, mse_loss, 2, "conv1", "conv3"))
+    hr = _batch(n=8, size=32)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, hr)
+        losses.append(float(m["train_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    # params stay fp32 master copies
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(state.params))
+
+
+def test_gan_d_loss_formula_matches_torch():
+    """Relativistic-average D loss with label smoothing: our optax formula
+    vs torch BCEWithLogitsLoss on the same logits (reference train.py:97-99)."""
+    import optax
+    import torch
+
+    rng = np.random.default_rng(0)
+    real = rng.normal(0, 2, (6, 1)).astype(np.float32)
+    fake = rng.normal(0, 2, (6, 1)).astype(np.float32)
+
+    rl, fl = jnp.asarray(real), jnp.asarray(fake)
+    d_real = jnp.mean(optax.sigmoid_binary_cross_entropy(
+        rl - jnp.mean(fl), 0.9 * jnp.ones_like(rl)))
+    d_fake = jnp.mean(optax.sigmoid_binary_cross_entropy(
+        fl - jnp.mean(rl), 0.1 * jnp.ones_like(fl)))
+    ours = float((d_real + d_fake) / 2.0)
+
+    bce = torch.nn.BCEWithLogitsLoss()
+    tr, tf = torch.from_numpy(real), torch.from_numpy(fake)
+    t_real = bce(tr - tf.mean(), torch.full_like(tr, 0.9))
+    t_fake = bce(tf - tr.mean(), torch.full_like(tf, 0.1))
+    want = float((t_real + t_fake) / 2.0)
+    np.testing.assert_allclose(ours, want, rtol=1e-6)
