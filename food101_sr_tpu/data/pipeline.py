@@ -105,6 +105,13 @@ def train_val_split(indices: np.ndarray, val_fraction: float = 0.1, seed: int = 
     return indices[perm[:n_train]], indices[perm[n_train:]]
 
 
+def process_local_slice(items, process_index: int, process_count: int):
+    """The interleaved share of one global batch owned by ``process_index``
+    (torch DistributedSampler-style). Every global position appears on
+    exactly one host; with process_count=1 it is the identity."""
+    return items[process_index::process_count]
+
+
 # ---------------------------------------------------------------------------
 # Batched loader with background prefetch
 # ---------------------------------------------------------------------------
@@ -145,6 +152,12 @@ class SRDataLoader:
             num_workers = min(16, os.cpu_count() or 1)
         self.num_workers = max(1, int(num_workers))
         self._epoch = 0
+        self._process_index = jax.process_index()
+        self._process_count = jax.process_count()
+        if self.batch_size % self._process_count:
+            raise ValueError(
+                f"global batch_size={self.batch_size} must divide evenly "
+                f"across {self._process_count} processes")
 
     def __len__(self):
         return len(self.indices) // self.batch_size
@@ -159,8 +172,13 @@ class SRDataLoader:
         """Assemble batches with a thread pool: PIL decode/resize release the
         GIL, so parallel workers multiply host throughput (the reference runs
         num_workers=0, fully serial — SURVEY §7 quirk list). Augmentation RNG
-        is derived per (seed, epoch, position), so results are deterministic
-        regardless of worker scheduling and stable across resume."""
+        is derived per (seed, epoch, GLOBAL position), so results are
+        deterministic regardless of worker scheduling, stable across resume,
+        and identical for any process topology.
+
+        Multi-host: ``batch_size`` is the GLOBAL batch; each host loads only
+        its interleaved slice of every batch (process_local_slice) and the
+        consumer assembles the global array from per-process shards."""
 
         def one(pos_and_idx):
             pos, i = pos_and_idx
@@ -168,13 +186,15 @@ class SRDataLoader:
             return load_hr_crop(self.source[int(i)], self.crop_size,
                                 self.train, rng)
 
+        pi, pc = self._process_index, self._process_count
         try:
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 for start in range(0, len(order) - self.batch_size + 1,
                                    self.batch_size):
                     idx = order[start : start + self.batch_size]
-                    batch = np.stack(list(pool.map(
-                        one, enumerate(idx, start=start))))
+                    work = process_local_slice(
+                        list(enumerate(idx, start=start)), pi, pc)
+                    batch = np.stack(list(pool.map(one, work)))
                     out.put(batch)
         finally:
             out.put(None)
@@ -195,7 +215,18 @@ class SRDataLoader:
             batch = q.get()
             if batch is None:
                 break
-            if self.sharding is not None:
-                yield jax.device_put(batch, self.sharding)
-            else:
-                yield jnp.asarray(batch)
+            yield self._to_global(batch)
+
+    def _to_global(self, local_np: np.ndarray):
+        """Host-local shard -> global device array. Single-process: a plain
+        device_put. Multi-host: every process holds 1/process_count of the
+        global batch and the runtime assembles the sharded global array
+        (jax.make_array_from_process_local_data) — no cross-host copies."""
+        if self._process_count > 1:
+            if self.sharding is None:
+                raise ValueError("multi-process loading requires a sharding")
+            return jax.make_array_from_process_local_data(
+                self.sharding, local_np)
+        if self.sharding is not None:
+            return jax.device_put(local_np, self.sharding)
+        return jnp.asarray(local_np)

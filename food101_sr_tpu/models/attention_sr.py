@@ -18,16 +18,19 @@ class AttentionSR(nn.Module):
     num_channels: int = 64
     num_residuals: int = 32
     dtype: Any = None
+    remat: bool = False  # rematerialize blocks in backward (trade FLOPs for HBM)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         initial = PReLU(name="prelu")(
             Conv(self.num_channels, 9, dtype=self.dtype, name="input_conv")(x)
         )
+        block_cls = (nn.remat(AttentionResidualBlock) if self.remat
+                     else AttentionResidualBlock)
         r = initial
         for i in range(self.num_residuals):
-            r = AttentionResidualBlock(self.num_channels, dtype=self.dtype,
-                                       name=f"res_{i}")(r)
+            r = block_cls(self.num_channels, dtype=self.dtype,
+                          name=f"res_{i}")(r)
         r = Conv(self.num_channels, 3, dtype=self.dtype, name="mid_conv")(r)
         x = initial + r
         assert self.scale_factor in (2, 4), "tail is built from x2 stages"

@@ -19,16 +19,19 @@ class ResNetSR(nn.Module):
     num_channels: int = 64
     num_residuals: int = 16
     dtype: Any = None
+    remat: bool = False  # rematerialize blocks in backward (trade FLOPs for HBM)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         initial = PReLU(name="prelu")(
             Conv(self.num_channels, 9, dtype=self.dtype, name="input_conv")(x)
         )
+        block_cls = (nn.remat(ResidualBlock, static_argnums=(2,))
+                     if self.remat else ResidualBlock)
         r = initial
         for i in range(self.num_residuals):
-            r = ResidualBlock(self.num_channels, use_se=False, dtype=self.dtype,
-                              name=f"res_{i}")(r, train=train)
+            r = block_cls(self.num_channels, use_se=False, dtype=self.dtype,
+                          name=f"res_{i}")(r, train)
         r = Conv(self.num_channels, 3, dtype=self.dtype, name="mid_conv")(r)
         r = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn_mid")(r)

@@ -135,3 +135,16 @@ def test_loader_deterministic_across_worker_counts():
                      num_workers=8)
     for ba, bb in zip(a, b):
         np.testing.assert_array_equal(np.asarray(ba), np.asarray(bb))
+
+
+def test_process_local_slice_partitions_batch():
+    """Multi-host slicing: every global position lands on exactly one host,
+    union reconstructs the batch, per-host shares are equal."""
+    from food101_sr_tpu.data.pipeline import process_local_slice
+
+    items = list(enumerate(range(100, 116)))  # one global batch of 16
+    for pc in (1, 2, 4, 8):
+        shards = [process_local_slice(items, pi, pc) for pi in range(pc)]
+        assert all(len(s) == 16 // pc for s in shards)
+        flat = sorted(x for s in shards for x in s)
+        assert flat == items

@@ -180,3 +180,28 @@ def test_prelu_matches_torch():
     want = F.prelu(torch.from_numpy(x), torch.tensor([0.25])).numpy()
     got = np.asarray(m.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_remat_gradients_match():
+    """remat=True must not change gradients (bit-level up to float noise)."""
+    import numpy as np
+    from food101_sr_tpu.losses import mse_loss
+    from food101_sr_tpu.data.pipeline import prepare_batch
+
+    hr = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8))
+    grads = []
+    for remat in (False, True):
+        m = get_model("AttentionSR", scale_factor=4, remat=remat)
+        v = m.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 8, 8, 3)), train=False)
+
+        def loss_of(params):
+            lr_img, hrf = prepare_batch(hr, 4)
+            out = m.apply({"params": params}, lr_img, train=False)
+            return mse_loss(out, hrf)
+
+        grads.append(jax.device_get(jax.jit(jax.grad(loss_of))(v["params"])))
+    for a, b in zip(jax.tree_util.tree_leaves(grads[0]),
+                    jax.tree_util.tree_leaves(grads[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-7)
