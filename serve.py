@@ -34,6 +34,84 @@ from food101_sr_tpu.parallel.spatial import RECEPTIVE_RADIUS, tiled_apply
 from food101_sr_tpu.training import load_checkpoint
 
 
+class MicroBatcher:
+    """Coalesces concurrent same-shape requests into one device batch.
+
+    Request threads enqueue (array, future); a single batcher thread owns
+    the chip: it takes the first pending item, drains whatever else arrived
+    within ``window_ms`` that shares its padded shape (up to ``max_batch``),
+    runs ONE jitted forward over the stacked batch, and distributes rows.
+    Under load this turns N single-image forwards into ceil(N/max_batch)
+    batched ones — the difference between ~30 ms/image dispatch-bound and
+    MXU-bound throughput serving.
+    """
+
+    def __init__(self, fwd, max_batch: int = 8, window_ms: float = 3.0):
+        import queue as _q
+
+        self._fwd = fwd
+        self.max_batch = max_batch
+        self.window = window_ms / 1e3
+        self._q: "_q.Queue" = _q.Queue()
+        self.n_batches = 0
+        self.n_items = 0
+        t = threading.Thread(target=self._run, daemon=True)
+        t.start()
+
+    def submit(self, x: np.ndarray) -> np.ndarray:
+        """x: [H,W,C] float32. Blocks until the SR result row is ready."""
+        ev = threading.Event()
+        slot = {}
+        self._q.put((x, ev, slot))
+        ev.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["out"]
+
+    def _run(self):
+        import queue as _q
+
+        while True:
+            first = self._q.get()
+            group = [first]
+            shape = first[0].shape
+            deadline = time.perf_counter() + self.window
+            while len(group) < self.max_batch:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=timeout)
+                except _q.Empty:
+                    break
+                if item[0].shape == shape:
+                    group.append(item)
+                else:  # different bucket: push back for the next round
+                    self._q.put(item)
+                    break
+            try:
+                # pad the batch dim to max_batch: ONE compiled program per
+                # shape bucket regardless of how many requests coalesced
+                # (a fresh XLA compile per batch size would dwarf the
+                # forward itself)
+                stack = np.stack([g[0] for g in group])
+                pad = self.max_batch - len(group)
+                if pad:
+                    stack = np.concatenate(
+                        [stack, np.zeros((pad,) + stack.shape[1:],
+                                         stack.dtype)])
+                out = np.asarray(self._fwd(jnp.asarray(stack)))
+                self.n_batches += 1
+                self.n_items += len(group)
+                for i, (_, ev, slot) in enumerate(group):
+                    slot["out"] = out[i]
+                    ev.set()
+            except Exception as e:  # pragma: no cover - defensive
+                for _, ev, slot in group:
+                    slot["err"] = e
+                    ev.set()
+
+
 class SRServer:
     def __init__(self, architecture: str, checkpoint: str | None,
                  scale: int = 4, tile: int = 64, dtype=jnp.bfloat16):
@@ -55,24 +133,28 @@ class SRServer:
             self.variables = variables  # random weights (smoke/serving test)
         self._fwd = jax.jit(lambda x: jnp.clip(
             self.model.apply(self.variables, x, train=False), 0.0, 1.0))
-        self._lock = threading.Lock()  # one chip, one queue
+        self._lock = threading.Lock()  # tiled path: one chip, one queue
+        self._batcher = MicroBatcher(self._fwd)
         self.n_served = 0
 
     def upscale(self, img: Image.Image) -> Image.Image:
         x = np.asarray(img.convert("RGB"), np.float32) / 255.0
         h, w = x.shape[:2]
-        # pad to a multiple of the tile so tiled_apply sees uniform shapes;
-        # crop the output back.
+        # pad to a multiple of the tile so the whole service compiles a
+        # handful of bucketed shapes; crop the output back.
         ph, pw = (-h) % self.tile, (-w) % self.tile
-        xp = np.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")[None]
-        with self._lock:
-            if max(xp.shape[1], xp.shape[2]) <= self.tile + 2 * self.halo:
-                out = self._fwd(jnp.asarray(xp))
-            else:
-                out = tiled_apply(self._fwd, jnp.asarray(xp), self.scale,
-                                  self.tile, self.halo)
-            out = np.asarray(out[0])
+        xp = np.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        if max(xp.shape[0], xp.shape[1]) <= self.tile + 2 * self.halo:
+            # small images ride the micro-batcher (concurrent requests of
+            # the same bucket coalesce into one device batch)
+            out = self._batcher.submit(xp)
             self.n_served += 1
+        else:
+            with self._lock:
+                out = np.asarray(tiled_apply(
+                    self._fwd, jnp.asarray(xp[None]), self.scale,
+                    self.tile, self.halo)[0])
+                self.n_served += 1
         out = out[: h * self.scale, : w * self.scale]
         return Image.fromarray((out * 255.0 + 0.5).astype(np.uint8))
 

@@ -65,3 +65,24 @@ def test_http_roundtrip(server):
         assert ei.value.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_micro_batcher_coalesces_concurrent_requests(server):
+    """Concurrent same-size requests must produce results identical to
+    serial calls AND coalesce into fewer device batches."""
+    import concurrent.futures as cf
+
+    imgs = [_img(24, 16, seed=10 + i) for i in range(8)]
+    serial = [np.asarray(server.upscale(im)) for im in imgs]
+
+    b0 = server._batcher.n_batches
+    with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        outs = list(pool.map(server.upscale, imgs))
+    batches_used = server._batcher.n_batches - b0
+    for s, o in zip(serial, outs):
+        # batched vs single forward may differ by float rounding at a
+        # uint8 quantization boundary — allow 1 step
+        diff = np.abs(s.astype(np.int16) - np.asarray(o).astype(np.int16))
+        assert diff.max() <= 1
+    assert batches_used < len(imgs), (
+        f"no coalescing: {batches_used} batches for {len(imgs)} requests")
