@@ -4,16 +4,23 @@ Matches torch ``nn.PixelShuffle`` channel semantics translated to NHWC:
 ``out[b, h*r+i, w*r+j, c] = x[b, h, w, c*r*r + i*r + j]``
 (reference uses it in both upsample tails, src/models.py:116-123,160-167).
 
-Implemented as TWO single-axis interleaves instead of one 6-D transpose:
-the 6-D form materializes a (..., r, ..., r, C) copy whose tiny minor dims
-tile badly on TPU (measured 2x padded HBM expansion and 10% slower at
-8x288x288x256; the padded copy is what OOMed large tiled-inference
-windows). Each step here keeps a wide trailing dim. Numerics are
-bit-identical (golden-tested vs torch).
+Two formulations, chosen by (static) spatial size — both bit-identical,
+golden-tested vs torch:
+
+* small tiles (the 50-200px training/serving geometry): one 6-D
+  reshape+transpose — XLA fuses it best there (the two-step form measured
+  6% slower end-to-end at batch 512 x 50px);
+* wide tiles: two single-axis interleaves — the 6-D form materializes a
+  (..., r, ..., r, C) copy whose tiny minor dims tile badly (measured 2x
+  padded HBM expansion at 8x288x288x256; that padded copy is what OOMed
+  large tiled-inference windows).
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+# spatial-area threshold between the two formulations (static at trace time)
+_WIDE_AREA = 128 * 128
 
 
 def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -21,6 +28,10 @@ def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     if crr % (r * r) != 0:
         raise ValueError(f"channels {crr} not divisible by r^2={r * r}")
     c = crr // (r * r)
+    if h * w < _WIDE_AREA:
+        x = x.reshape(n, h, w, c, r, r)
+        x = x.transpose(0, 1, 4, 2, 5, 3)  # N, H, i, W, j, C
+        return x.reshape(n, h * r, w * r, c)
     # channel index factorizes as (c, i, j), j fastest
     # step 1: interleave j into W  -> [b, h, w*r, c*r] (channel = (c, i))
     x = x.reshape(n, h, w, c * r, r)
