@@ -14,8 +14,13 @@ from ..models.feature_nets import VGG19Features, load_feature_params
 class PerceptualLoss:
     """Callable ``loss(pred, target) -> scalar`` on NHWC [0,1] images."""
 
-    def __init__(self, weights_dir: str | None = None, dtype: Any = None):
-        self.module = VGG19Features(dtype=dtype)
+    def __init__(self, weights_dir: str | None = None, dtype: Any = None,
+                 precision: Any = None):
+        # training-loss embedding: default (fast bf16-pass) conv precision —
+        # the HIGHEST-precision path is for the LPIPS *metric* (torch
+        # parity); here it would triple the GAN G-step cost (measured
+        # 201 -> ~100 ms at batch 32, crop 192).
+        self.module = VGG19Features(dtype=dtype, precision=precision)
         self.variables, self.pretrained = load_feature_params(
             self.module, "vgg19_features.npz", (1, 32, 32, 3), weights_dir
         )

@@ -40,9 +40,14 @@ class VGG19Features(nn.Module):
     Expects NHWC float input; like the reference, no ImageNet mean/std
     normalization is applied to the [0,1] inputs (reference src/loss.py:28
     feeds raw SR/HR tensors).
+
+    ``precision``: "highest" for metric-grade torch parity (LPIPS); None
+    (TPU-default bf16 passes) when used as a training-loss embedding,
+    where it is ~3x cheaper and gradient-equivalent in practice.
     """
 
     dtype: Any = None
+    precision: Any = "highest"
 
     @nn.compact
     def __call__(self, x):
@@ -51,7 +56,7 @@ class VGG19Features(nn.Module):
         for bi, (feat, n_convs) in enumerate(_VGG19_BLOCKS):
             for ci in range(n_convs):
                 x = nn.Conv(
-                    feat, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, precision="highest",
+                    feat, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, precision=self.precision,
                     name=f"conv_{conv_idx}",
                 )(x)
                 conv_idx += 1
@@ -69,29 +74,30 @@ class AlexNetFeatures(nn.Module):
     LPIPS uses."""
 
     dtype: Any = None
+    precision: Any = "highest"
 
     @nn.compact
     def __call__(self, x):
         taps = []
         x = nn.Conv(64, (11, 11), strides=(4, 4), padding=((2, 2), (2, 2)),
-                    dtype=self.dtype, precision="highest", name="conv_0")(x)
+                    dtype=self.dtype, precision=self.precision, name="conv_0")(x)
         x = nn.relu(x)
         taps.append(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = nn.Conv(192, (5, 5), padding=((2, 2), (2, 2)), dtype=self.dtype, precision="highest",
+        x = nn.Conv(192, (5, 5), padding=((2, 2), (2, 2)), dtype=self.dtype, precision=self.precision,
                     name="conv_1")(x)
         x = nn.relu(x)
         taps.append(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = nn.Conv(384, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, precision="highest",
+        x = nn.Conv(384, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, precision=self.precision,
                     name="conv_2")(x)
         x = nn.relu(x)
         taps.append(x)
-        x = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, precision="highest",
+        x = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, precision=self.precision,
                     name="conv_3")(x)
         x = nn.relu(x)
         taps.append(x)
-        x = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, precision="highest",
+        x = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, precision=self.precision,
                     name="conv_4")(x)
         x = nn.relu(x)
         taps.append(x)
