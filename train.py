@@ -41,6 +41,10 @@ def parse_args():
                    help="trace this many train steps (first epoch) with "
                         "jax.profiler into --profile_dir")
     p.add_argument("--profile_dir", type=str, default=DEFAULTS["profile_dir"])
+    p.add_argument("--use_wandb", type=lambda s: s.lower() in ("1", "true"),
+                   default=DEFAULTS["use_wandb"], nargs="?", const=True,
+                   help="force W&B on/off (default: auto — on iff wandb is "
+                        "importable; JSONL fallback otherwise)")
     return p.parse_args()
 
 
