@@ -37,4 +37,5 @@ class AttentionSR(nn.Module):
         for i in range(self.scale_factor // 2):
             x = UpsampleBlock(out_channels=64, scale=2, dtype=self.dtype,
                               name=f"up_{i}")(x)
-        return Conv(3, 9, dtype=self.dtype, name="output_conv")(x)
+        return Conv(3, 9, dtype=self.dtype, subpixel_r=self.scale_factor,
+                    name="output_conv")(x)

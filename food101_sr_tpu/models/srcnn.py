@@ -29,4 +29,5 @@ class SRCNN(nn.Module):
         x = nn.relu(Conv(self.hidden_dim, 1, kernel_init=kaiming_normal("fan_out"),
                          dtype=self.dtype, name="conv2")(x))
         return Conv(self.num_channels, 5, kernel_init=kaiming_normal("fan_out"),
-                    dtype=self.dtype, name="conv3")(x)
+                    dtype=self.dtype, subpixel_r=self.scale_factor,
+                    name="conv3")(x)

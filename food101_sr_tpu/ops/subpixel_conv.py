@@ -1,0 +1,95 @@
+"""Subpixel decomposition of a stride-1 SAME conv with few output channels.
+
+The SR tails end in ``conv9x9(64 -> 3)`` at HR resolution (reference
+src/models.py:124,144). On the MXU that contraction has N=3 output
+channels against 128 lanes — measured 15 TF/s effective vs the chip's
+~125, i.e. ~21% of the whole AttentionSR forward for 3% of its FLOPs.
+
+This module computes the *identical* convolution in phase-decomposed form:
+
+    out = depth_to_space( conv_{k'}( space_to_depth(x, r), K' ), r )
+
+where the r^2 spatial phases of input/output become channels: the
+contraction grows to (r^2*cin -> r^2*cout) over a small ``ceil-ish(k/r)``
+stencil, filling the MXU (r=4: 1024 -> 48 channels). K' is a pure
+re-indexing of the original HWIO kernel (one gather, built from static
+index maps), so parameters, checkpoints, and gradients stay in the
+original ``[k, k, cin, cout]`` layout.
+
+Exactness: the mapping is an index permutation with zero fill — identical
+math in fp32 (golden-tested against the direct conv); on TPU only the
+usual accumulation-order float noise differs.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+from .pixel_shuffle import pixel_shuffle
+
+
+@functools.lru_cache(maxsize=32)
+def _phase_index_maps(k: int, r: int):
+    """Static index/validity maps for the kernel rearrangement.
+
+    For output phase p and tap q (in the decomposed conv) reading input
+    sub-phase s: the original kernel tap is ``d = r*q + s - p + pad``;
+    valid iff 0 <= d < k.
+    """
+    pad = (k - 1) // 2
+    # tap range: q is useful iff exists (s, p) with 0 <= r*q + s - p + pad < k
+    q_lo = -int(np.floor((pad + r - 1) / r))        # s = r-1, p = 0, d >= 0
+    q_hi = int(np.floor((k - 1 + r - 1 - pad) / r))  # s = 0, p = r-1, d <= k-1
+    qs = np.arange(q_lo, q_hi + 1)
+    s = np.arange(r)
+    p = np.arange(r)
+    # d[qi, si, pi]
+    d = qs[:, None, None] * r + s[None, :, None] - p[None, None, :] + pad
+    valid = (d >= 0) & (d < k)
+    return qs, np.clip(d, 0, k - 1), valid
+
+
+def subpixel_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias, r: int):
+    """SAME stride-1 conv computed via r-phase decomposition.
+
+    Args:
+      x: [N, H, W, cin] with H % r == 0 and W % r == 0.
+      kernel: [k, k, cin, cout] HWIO (odd k).
+      bias: [cout] or None.
+      r: phase factor (the model's upscale step is the natural choice).
+    """
+    n, h, w, cin = x.shape
+    k, _, _, cout = kernel.shape
+    qs, dmap, valid = _phase_index_maps(k, r)
+    nq = len(qs)
+
+    # space-to-depth input: z[b, Y, X, (sy, sx, i)]
+    z = x.reshape(n, h // r, r, w // r, r, cin)
+    z = z.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // r, w // r, r * r * cin)
+
+    # K'[qy, qx, sy, sx, py, px, i, c] = kernel[d(qy,sy,py), d(qx,sx,px), i, c]
+    dy = dmap[:, None, :, None, :, None]          # [qy,1,sy,1,py,1]
+    dx = dmap[None, :, None, :, None, :]          # [1,qx,1,sx,1,px]
+    vy = valid[:, None, :, None, :, None]
+    vx = valid[None, :, None, :, None, :]
+    kp = kernel[dy, dx]                           # [qy,qx,sy,sx,py,px,i,c]
+    kp = jnp.where((vy & vx)[..., None, None], kp, 0.0)
+    # in-channels (sy, sx, i) -> axis order already (sy, sx, ..., i): move i
+    kp = kp.transpose(0, 1, 2, 3, 6, 7, 4, 5)      # [qy,qx,sy,sx,i,c,py,px]
+    kp = kp.reshape(nq, nq, r * r * cin, cout * r * r)  # out = (c, py, px)
+
+    # decomposed conv: padding must map q=0 to the current block, i.e. the
+    # tap range [q_lo, q_hi] needs |q_lo| left pad and q_hi right pad.
+    lo, hi = -int(qs[0]), int(qs[-1])
+    y = lax.conv_general_dilated(
+        z, kp.astype(z.dtype), (1, 1),
+        padding=((lo, hi), (lo, hi)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + jnp.repeat(bias, r * r).astype(y.dtype)
+    # out channel index (c, py, px) == pixel_shuffle's (c*r + i)*r + j
+    return pixel_shuffle(y, r)
