@@ -1,7 +1,7 @@
 """Loss registry mirroring the reference's ``get_loss_function``
 (reference src/loss.py:81-92): mae, mse, perceptual, nlpd. ``gan`` is not a
 registry entry — it is a composite assembled by the training loop (reference
-train.py:58-65), same as here (see training/gan.py)."""
+train.py:58-65), same as here (see training/steps.py make_gan_*_step)."""
 from __future__ import annotations
 
 import jax.numpy as jnp
