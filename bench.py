@@ -239,7 +239,74 @@ def bench_train_step(batch: int = 128) -> float:
     return ips
 
 
+def bench_gan_step(batch: int = 32, crop: int = 192) -> float:
+    """GAN trainer throughput: composite G step every batch + D step every
+    5th (the reference cadence, train.py:87) — reported as effective
+    images/sec."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from food101_sr_tpu.losses import get_loss_function
+    from food101_sr_tpu.models import Discriminator, get_model
+    from food101_sr_tpu.training import (SRTrainState, make_adam,
+                                         make_gan_d_step, make_gan_g_step)
+
+    g_model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16)
+    g_vars = g_model.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, crop // SCALE, crop // SCALE, 3),
+                                    jnp.float32), train=False)
+    g_state = SRTrainState.create(dict(g_vars), make_adam(1e-4, clip_norm=1.0))
+    d_model = Discriminator(dtype=jnp.bfloat16)
+    d_vars = d_model.init({"params": jax.random.PRNGKey(2)},
+                          jnp.zeros((1, crop, crop, 3), jnp.float32),
+                          train=False)
+    d_state = SRTrainState.create(dict(d_vars), make_adam(1e-5))
+    percep = get_loss_function("perceptual", weights_dir="weights")
+    d_step = jax.jit(make_gan_d_step(g_model, d_model, SCALE))
+    g_step = jax.jit(make_gan_g_step(g_model, d_model, percep, SCALE,
+                                     "input_conv", "output_conv"))
+    hr = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (batch, crop, crop, 3), dtype=np.uint8))
+    rng = jax.random.PRNGKey(0)
+    total = jax.jit(jnp.sum)
+
+    _, dm = d_step(g_state, d_state, hr, rng)
+    float(total(dm["train_loss_D"]))
+    _, _, gm = g_step(g_state, d_state, hr)
+    float(total(gm["train_loss"]))
+
+    def timed(fn, n_s=3, n_l=15):
+        def run(n):
+            best = float("inf")
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                m = None
+                for _ in range(n):
+                    m = fn()
+                float(total(m))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        return (run(n_l) - run(n_s)) / (n_l - n_s)
+
+    t_d = timed(lambda: d_step(g_state, d_state, hr, rng)[1]["train_loss_D"])
+    t_g = timed(lambda: g_step(g_state, d_state, hr)[2]["train_loss"])
+    ips = batch / (t_g + t_d / 5)
+    log(f"gan: g_step {t_g*1e3:.1f} ms, d_step {t_d*1e3:.1f} ms "
+        f"-> {ips:.1f} img/s effective (D every 5th)")
+    return ips
+
+
 def main():
+    if "--gan" in sys.argv:
+        ours = bench_gan_step()
+        print(json.dumps({
+            "metric": "attentionsr_x4_gan_train_throughput",
+            "value": round(ours, 1),
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+        }))
+        return
     if "--train" in sys.argv:
         # extra mode (not the driver's headline): full train-step throughput;
         # no torch-side NLPD train baseline, so vs_baseline is omitted.
