@@ -236,7 +236,10 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
                 print(f"Wrote device trace to {cfg['profile_dir']}")
             if is_gan:
                 if batch_idx % int(cfg["d_update_every"]) == 0:
-                    noise_rng, sub = jax.random.split(noise_rng)
+                    # instance-noise key addressed by (epoch, batch) so a
+                    # resumed run replays the exact same noise stream
+                    sub = jax.random.fold_in(
+                        jax.random.fold_in(noise_rng, epoch), batch_idx)
                     d_state, d_metrics = d_step(g_state, d_state, hr_u8, sub)
                 g_state, d_state, metrics = g_gan_step(g_state, d_state, hr_u8)
             else:

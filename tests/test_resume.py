@@ -83,3 +83,31 @@ def test_resume_continues_training(tmp_path):
                     jax.tree_util.tree_leaves(part["g"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_gan_resume_restores_discriminator(tmp_path):
+    """Resuming a GAN run must restore D (params + spectral state) and its
+    optimizer, not just the generator."""
+    from food101_sr_tpu.training import train, load_checkpoint
+
+    common = dict(
+        dataset="synthetic", synthetic_size=96, crop_size=32, scale_factor=4,
+        architecture="SRCNN", loss_function="gan", batch_size=8,
+        patience=10, use_wandb=False, seed=4, lr=1e-4,
+        weights_dir=str(tmp_path / "w"),
+    )
+    train({**common, "epochs": 2, "save_name": "gfull", "run_name": "gfull"})
+    train({**common, "epochs": 1, "save_name": "gpart", "run_name": "gpart"})
+    train({**common, "epochs": 2, "save_name": "gpart2", "run_name": "gpart2",
+           "resume": str(tmp_path / "w" / "gpart_last")})
+
+    import jax
+    full = load_checkpoint(str(tmp_path / "w" / "gfull_last"))
+    part = load_checkpoint(str(tmp_path / "w" / "gpart2_last"))
+    assert "d" in full and "d" in part
+    for sub in ("g", "d"):
+        for a, b in zip(jax.tree_util.tree_leaves(full[sub]),
+                        jax.tree_util.tree_leaves(part[sub])):
+            np.testing.assert_allclose(np.asarray(a, np.float64),
+                                       np.asarray(b, np.float64),
+                                       atol=1e-5, rtol=1e-5)
