@@ -50,7 +50,7 @@ RECEPTIVE_RADIUS = {
 }
 
 
-def _window_starts(size: int, tile: int, halo: int):
+def window_starts(size: int, tile: int, halo: int):
     """Clamped start offsets of ``tile + 2*halo`` windows covering ``size``."""
     n = math.ceil(size / tile)
     win = tile + 2 * halo
@@ -94,8 +94,8 @@ def tiled_apply(
     win_w = min(tile + 2 * halo, w)
     halo_h = (win_h - tile) // 2
     halo_w = (win_w - tile) // 2
-    starts_h, nh, win_h = _window_starts(h, tile, halo_h)
-    starts_w, nw, win_w = _window_starts(w, tile, halo_w)
+    starts_h, nh, win_h = window_starts(h, tile, halo_h)
+    starts_w, nw, win_w = window_starts(w, tile, halo_w)
 
     # Gather overlapping windows: (B, nh, nw, win_h, win_w, C) -> flat batch.
     rows = jnp.stack([images[:, s : s + win_h] for s in starts_h], axis=1)

@@ -4,9 +4,10 @@
 The reference has no serving path (its closest analogue is the offline
 comparison script, reference visualize.py); this is the production-facing
 counterpart: one process owns the chip, the model + checkpoint load once,
-forwards are jitted, and large inputs route through the exact spatial
-tiling path (food101_sr_tpu.parallel.spatial) so arbitrary image sizes run
-in a handful of compiled shapes.
+forwards are jitted, and large inputs are cut into receptive-field-halo
+windows (the exact math of food101_sr_tpu.parallel.spatial) that ride the
+same micro-batcher as small images — so arbitrary image sizes run in a
+handful of compiled shapes and concurrent requests share device batches.
 
     python serve.py --architecture AttentionSR --checkpoint weights/attentionsr_run_best &
     curl --data-binary @low_res.png http://localhost:8700/sr > out.png
@@ -30,7 +31,7 @@ import numpy as np
 from PIL import Image
 
 from food101_sr_tpu.models import get_model
-from food101_sr_tpu.parallel.spatial import RECEPTIVE_RADIUS, tiled_apply
+from food101_sr_tpu.parallel.spatial import RECEPTIVE_RADIUS, window_starts
 from food101_sr_tpu.training import load_checkpoint
 
 
@@ -60,13 +61,28 @@ class MicroBatcher:
 
     def submit(self, x: np.ndarray) -> np.ndarray:
         """x: [H,W,C] float32. Blocks until the SR result row is ready."""
-        ev = threading.Event()
-        slot = {}
-        self._q.put((x, ev, slot))
-        ev.wait()
-        if "err" in slot:
-            raise slot["err"]
-        return slot["out"]
+        return self.submit_many([x])[0]
+
+    def submit_many(self, xs) -> list:
+        """Enqueue several items at once, block until all are done.
+
+        All items land in the queue before the caller waits, so the batcher
+        thread groups them (and any concurrently-arriving same-shape items
+        from other requests) into max_batch device batches — this is how a
+        tiled large image shares batches with other in-flight requests."""
+        pending = []
+        for x in xs:
+            ev = threading.Event()
+            slot = {}
+            self._q.put((x, ev, slot))
+            pending.append((ev, slot))
+        outs = []
+        for ev, slot in pending:
+            ev.wait()
+            if "err" in slot:
+                raise slot["err"]
+            outs.append(slot["out"])
+        return outs
 
     def _run(self):
         import queue as _q
@@ -133,7 +149,6 @@ class SRServer:
             self.variables = variables  # random weights (smoke/serving test)
         self._fwd = jax.jit(lambda x: jnp.clip(
             self.model.apply(self.variables, x, train=False), 0.0, 1.0))
-        self._lock = threading.Lock()  # tiled path: one chip, one queue
         self._batcher = MicroBatcher(self._fwd)
         self.n_served = 0
 
@@ -148,15 +163,45 @@ class SRServer:
             # small images ride the micro-batcher (concurrent requests of
             # the same bucket coalesce into one device batch)
             out = self._batcher.submit(xp)
-            self.n_served += 1
         else:
-            with self._lock:
-                out = np.asarray(tiled_apply(
-                    self._fwd, jnp.asarray(xp[None]), self.scale,
-                    self.tile, self.halo)[0])
-                self.n_served += 1
+            out = self._upscale_tiled(xp)
+        self.n_served += 1
         out = out[: h * self.scale, : w * self.scale]
         return Image.fromarray((out * 255.0 + 0.5).astype(np.uint8))
+
+    def _upscale_tiled(self, xp: np.ndarray) -> np.ndarray:
+        """Large image -> overlap windows -> micro-batcher -> stitched SR.
+
+        Same window/halo math as parallel.spatial.tiled_apply (exact for
+        halo >= the model's receptive-field radius), but the windows go
+        through the shared MicroBatcher instead of a private device call:
+        every window is one queue item, so windows of concurrent requests
+        (and leftover capacity under small-image traffic of the same window
+        bucket) coalesce into max_batch device batches. Removes the serial
+        per-request lock the first serving version had."""
+        h, w, c = xp.shape
+        win_h = min(self.tile + 2 * self.halo, h)
+        win_w = min(self.tile + 2 * self.halo, w)
+        halo_h = (win_h - self.tile) // 2
+        halo_w = (win_w - self.tile) // 2
+        starts_h, _, win_h = window_starts(h, self.tile, halo_h)
+        starts_w, _, win_w = window_starts(w, self.tile, halo_w)
+        wins = [np.ascontiguousarray(xp[sh:sh + win_h, sw:sw + win_w])
+                for sh in starts_h for sw in starts_w]
+        outs = self._batcher.submit_many(wins)
+        s = self.scale
+        sr = np.empty((h * s, w * s, c), np.float32)
+        k = 0
+        for i, sh in enumerate(starts_h):
+            off_h = (i * self.tile - sh) * s
+            for j, sw in enumerate(starts_w):
+                off_w = (j * self.tile - sw) * s
+                sr[i * self.tile * s:(i + 1) * self.tile * s,
+                   j * self.tile * s:(j + 1) * self.tile * s] = \
+                    outs[k][off_h:off_h + self.tile * s,
+                            off_w:off_w + self.tile * s]
+                k += 1
+        return sr
 
 
 def make_handler(server: SRServer):

@@ -67,6 +67,41 @@ def test_http_roundtrip(server):
         httpd.shutdown()
 
 
+def test_tiled_batched_matches_tiled_apply(server):
+    """The serving tiled path (windows through the micro-batcher) must
+    reproduce the library tiled_apply result on the same padded array."""
+    import jax.numpy as jnp
+    from food101_sr_tpu.parallel.spatial import tiled_apply
+
+    xp = np.random.default_rng(5).uniform(0, 1, (64, 96, 3)).astype(np.float32)
+    ref = np.asarray(tiled_apply(server._fwd, jnp.asarray(xp[None]), 4,
+                                 server.tile, server.halo)[0])
+    got = server._upscale_tiled(xp)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-5
+
+
+def test_tiled_requests_coalesce(server):
+    """Two concurrent large-image requests: windows of both must share
+    device batches (no per-request serialization) and match serial results."""
+    import concurrent.futures as cf
+
+    imgs = [_img(90, 60, seed=20 + i) for i in range(2)]
+    serial = [np.asarray(server.upscale(im), np.int16) for im in imgs]
+
+    b0 = server._batcher.n_batches
+    with cf.ThreadPoolExecutor(max_workers=2) as pool:
+        outs = list(pool.map(server.upscale, imgs))
+    batches_used = server._batcher.n_batches - b0
+    # 96x64 pad / tile 32 / halo 8 -> 6 windows per image, 12 items total;
+    # coalesced that's ~2 batches of <=8; serialized-per-window would be 12.
+    # Generous bound (scheduling jitter on a 1-core host) still proves sharing.
+    assert batches_used <= 6, f"tiled windows did not coalesce: {batches_used}"
+    for s, o in zip(serial, outs):
+        diff = np.abs(s - np.asarray(o, np.int16))
+        assert diff.max() <= 1
+
+
 def test_micro_batcher_coalesces_concurrent_requests(server):
     """Concurrent same-size requests must produce results identical to
     serial calls AND coalesce into fewer device batches."""
