@@ -130,10 +130,12 @@ class MicroBatcher:
 
 class SRServer:
     def __init__(self, architecture: str, checkpoint: str | None,
-                 scale: int = 4, tile: int = 64, dtype=jnp.bfloat16):
+                 scale: int = 4, tile: int = 64, dtype=jnp.bfloat16,
+                 png_level: int = 1):
         self.arch = architecture
         self.scale = scale
         self.tile = tile
+        self.png_level = png_level
         self.halo = RECEPTIVE_RADIUS.get(architecture, 80)
         self.model = get_model(architecture, scale_factor=scale, dtype=dtype)
         variables = self.model.init(
@@ -245,7 +247,10 @@ def make_handler(server: SRServer):
             sr = server.upscale(img)
             dt = (time.perf_counter() - t0) * 1e3
             buf = io.BytesIO()
-            sr.save(buf, format="PNG")
+            # compress_level 1: zlib "fastest". The serving host is often a
+            # single-core TPU-VM slice where default-level PNG encode of a
+            # large SR output costs more wall time than the forward itself.
+            sr.save(buf, format="PNG", compress_level=server.png_level)
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
             self.send_header("Content-Length", str(buf.getbuffer().nbytes))
@@ -263,11 +268,14 @@ def main():
                    help="orbax checkpoint dir; empty = random init (smoke)")
     p.add_argument("--scale_factor", type=int, default=4)
     p.add_argument("--tile", type=int, default=64)
+    p.add_argument("--png_level", type=int, default=1,
+                   help="PNG zlib level for responses (1=fastest, 9=smallest)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8700)
     a = p.parse_args()
 
-    srv = SRServer(a.architecture, a.checkpoint or None, a.scale_factor, a.tile)
+    srv = SRServer(a.architecture, a.checkpoint or None, a.scale_factor,
+                   a.tile, png_level=a.png_level)
     httpd = ThreadingHTTPServer((a.host, a.port), make_handler(srv))
     print(f"serving {a.architecture} x{a.scale_factor} on "
           f"http://{a.host}:{a.port}  (POST /sr, GET /healthz)")
