@@ -47,12 +47,14 @@ class MicroBatcher:
     MXU-bound throughput serving.
     """
 
-    def __init__(self, fwd, max_batch: int = 8, window_ms: float = 3.0):
+    def __init__(self, fwd, max_batch: int = 8, window_ms: float = 3.0,
+                 sharding=None):
         import queue as _q
 
         self._fwd = fwd
         self.max_batch = max_batch
         self.window = window_ms / 1e3
+        self.sharding = sharding  # optional: shard batches over a device mesh
         self._q: "_q.Queue" = _q.Queue()
         self.n_batches = 0
         self.n_items = 0
@@ -116,7 +118,13 @@ class MicroBatcher:
                     stack = np.concatenate(
                         [stack, np.zeros((pad,) + stack.shape[1:],
                                          stack.dtype)])
-                out = np.asarray(self._fwd(jnp.asarray(stack)))
+                if self.sharding is not None:
+                    # batch dim sharded over the mesh's data axis: each chip
+                    # runs max_batch/n_devices rows of the same program
+                    dev = jax.device_put(stack, self.sharding)
+                else:
+                    dev = jnp.asarray(stack)
+                out = np.asarray(self._fwd(dev))
                 self.n_batches += 1
                 self.n_items += len(group)
                 for i, (_, ev, slot) in enumerate(group):
@@ -131,7 +139,8 @@ class MicroBatcher:
 class SRServer:
     def __init__(self, architecture: str, checkpoint: str | None,
                  scale: int = 4, tile: int = 64, dtype=jnp.bfloat16,
-                 png_level: int = 1):
+                 png_level: int = 1, use_mesh: bool = False,
+                 max_batch: int = 8):
         self.arch = architecture
         self.scale = scale
         self.tile = tile
@@ -151,7 +160,20 @@ class SRServer:
             self.variables = variables  # random weights (smoke/serving test)
         self._fwd = jax.jit(lambda x: jnp.clip(
             self.model.apply(self.variables, x, train=False), 0.0, 1.0))
-        self._batcher = MicroBatcher(self._fwd)
+        sharding = None
+        if use_mesh:
+            # Multi-chip serving: one jitted program over global arrays on a
+            # 1-D data mesh — each device batch is sharded over the mesh's
+            # batch axis, so a v5e-8 slice serves 8x the rows per batch.
+            from food101_sr_tpu.parallel import data_sharding, make_mesh
+
+            mesh = make_mesh()
+            n_dev = len(mesh.devices.flat)
+            max_batch = -(-max_batch // n_dev) * n_dev  # round up to a multiple
+            if n_dev > 1:
+                sharding = data_sharding(mesh)
+        self._batcher = MicroBatcher(self._fwd, max_batch=max_batch,
+                                     sharding=sharding)
         self.n_served = 0
 
     def upscale(self, img: Image.Image) -> Image.Image:
@@ -270,12 +292,19 @@ def main():
     p.add_argument("--tile", type=int, default=64)
     p.add_argument("--png_level", type=int, default=1,
                    help="PNG zlib level for responses (1=fastest, 9=smallest)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard device batches over all local devices "
+                        "(multi-chip TPU slice serving)")
+    p.add_argument("--max_batch", type=int, default=8,
+                   help="micro-batcher device batch size (rounded up to a "
+                        "multiple of the mesh size with --mesh)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8700)
     a = p.parse_args()
 
     srv = SRServer(a.architecture, a.checkpoint or None, a.scale_factor,
-                   a.tile, png_level=a.png_level)
+                   a.tile, png_level=a.png_level, use_mesh=a.mesh,
+                   max_batch=a.max_batch)
     httpd = ThreadingHTTPServer((a.host, a.port), make_handler(srv))
     print(f"serving {a.architecture} x{a.scale_factor} on "
           f"http://{a.host}:{a.port}  (POST /sr, GET /healthz)")

@@ -102,6 +102,25 @@ def test_tiled_requests_coalesce(server):
         assert diff.max() <= 1
 
 
+def test_mesh_serving_matches_single_device(server):
+    """--mesh serving: batches sharded over the 8-virtual-device CPU mesh
+    must reproduce single-device results (both paths: small + tiled)."""
+    import serve
+    import jax.numpy as jnp
+
+    mesh_srv = serve.SRServer("SRCNN", None, scale=4, tile=32,
+                              dtype=jnp.float32, use_mesh=True, max_batch=6)
+    # SRCNN weights are randomly initialized per-server; share them
+    mesh_srv.variables = server.variables
+    assert mesh_srv._batcher.max_batch % 8 == 0  # rounded up to mesh size
+
+    small, large = _img(20, 12, seed=30), _img(90, 60, seed=31)
+    for img in (small, large):
+        a = np.asarray(server.upscale(img), np.int16)
+        b = np.asarray(mesh_srv.upscale(img), np.int16)
+        assert np.abs(a - b).max() <= 1
+
+
 def test_micro_batcher_coalesces_concurrent_requests(server):
     """Concurrent same-size requests must produce results identical to
     serial calls AND coalesce into fewer device batches."""
