@@ -21,7 +21,10 @@ except ImportError:  # pragma: no cover - exercised only where wandb exists
 
 class RunLogger:
     def __init__(self, config: Mapping[str, Any], name: Optional[str] = None,
-                 use_wandb: Optional[bool] = None, run_dir: str = "runs"):
+                 use_wandb: Optional[bool] = None,
+                 run_dir: Optional[str] = None):
+        if run_dir is None:  # FOOD101_SR_RUN_DIR reroutes logs (tests -> tmp)
+            run_dir = os.environ.get("FOOD101_SR_RUN_DIR", "runs")
         self.config = dict(config)
         use_wandb = (_wandb is not None) if use_wandb is None else use_wandb
         self._wandb_run = None

@@ -18,6 +18,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import tempfile  # noqa: E402
+
+# Keep test-run JSONL logs out of the repo's runs/ directory (RunLogger
+# honors this env var; see utils/logging.py).
+os.environ.setdefault(
+    "FOOD101_SR_RUN_DIR", tempfile.mkdtemp(prefix="food101_sr_test_runs_"))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
