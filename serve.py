@@ -25,12 +25,26 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+
+class SRHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a listen backlog sized for bursty serving.
+
+    socketserver's default request_queue_size of 5 drops (RST) connections
+    whenever more than a handful arrive while handlers are busy — e.g. the
+    first seconds of traffic on a fresh shape bucket, where one request
+    holds the batcher through an XLA compile and the rest pile up.
+    """
+
+    request_queue_size = 128
+    daemon_threads = True
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
 from food101_sr_tpu.models import get_model
+from food101_sr_tpu.native import encode_png_rgb8
 from food101_sr_tpu.parallel.spatial import RECEPTIVE_RADIUS, window_starts
 from food101_sr_tpu.training import load_checkpoint
 
@@ -62,7 +76,7 @@ class MicroBatcher:
         t.start()
 
     def submit(self, x: np.ndarray) -> np.ndarray:
-        """x: [H,W,C] float32. Blocks until the SR result row is ready."""
+        """x: [H,W,C] uint8. Blocks until the SR result row is ready."""
         return self.submit_many([x])[0]
 
     def submit_many(self, xs) -> list:
@@ -124,7 +138,14 @@ class MicroBatcher:
                     dev = jax.device_put(stack, self.sharding)
                 else:
                     dev = jnp.asarray(stack)
-                out = np.asarray(self._fwd(dev))
+                # fetch only the occupied rows, rounded up to a power of
+                # two: D2H cost scales with the coalesced group rather than
+                # the padded max_batch, while the row-slice stays one of
+                # log2(max_batch) tiny compiled programs (a slice per exact
+                # group size caused compile stalls mid-traffic)
+                n_fetch = min(self.max_batch,
+                              1 << max(0, len(group) - 1).bit_length())
+                out = np.asarray(self._fwd(dev)[:n_fetch])
                 self.n_batches += 1
                 self.n_items += len(group)
                 for i, (_, ev, slot) in enumerate(group):
@@ -158,8 +179,16 @@ class SRServer:
             self.variables = {"params": loaded["params"], **loaded["extra"]}
         else:
             self.variables = variables  # random weights (smoke/serving test)
-        self._fwd = jax.jit(lambda x: jnp.clip(
-            self.model.apply(self.variables, x, train=False), 0.0, 1.0))
+        # uint8 in / uint8 out: ToTensor and the 255-quantization both run
+        # on device, so host<->device traffic is 4x smaller than shipping
+        # float32 either way (the PCIe/tunnel D2H link, not the MXU, is the
+        # serving bottleneck for small models).
+        def _sr_u8(x8):
+            y = self.model.apply(self.variables,
+                                 x8.astype(jnp.float32) / 255.0, train=False)
+            return (jnp.clip(y, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+        self._fwd = jax.jit(_sr_u8)
         sharding = None
         if use_mesh:
             # Multi-chip serving: one jitted program over global arrays on a
@@ -177,7 +206,7 @@ class SRServer:
         self.n_served = 0
 
     def upscale(self, img: Image.Image) -> Image.Image:
-        x = np.asarray(img.convert("RGB"), np.float32) / 255.0
+        x = np.asarray(img.convert("RGB"), np.uint8)
         h, w = x.shape[:2]
         # pad to a multiple of the tile so the whole service compiles a
         # handful of bucketed shapes; crop the output back.
@@ -190,8 +219,7 @@ class SRServer:
         else:
             out = self._upscale_tiled(xp)
         self.n_served += 1
-        out = out[: h * self.scale, : w * self.scale]
-        return Image.fromarray((out * 255.0 + 0.5).astype(np.uint8))
+        return Image.fromarray(out[: h * self.scale, : w * self.scale])
 
     def _upscale_tiled(self, xp: np.ndarray) -> np.ndarray:
         """Large image -> overlap windows -> micro-batcher -> stitched SR.
@@ -214,7 +242,7 @@ class SRServer:
                 for sh in starts_h for sw in starts_w]
         outs = self._batcher.submit_many(wins)
         s = self.scale
-        sr = np.empty((h * s, w * s, c), np.float32)
+        sr = np.empty((h * s, w * s, c), np.uint8)
         k = 0
         for i, sh in enumerate(starts_h):
             off_h = (i * self.tile - sh) * s
@@ -268,17 +296,17 @@ def make_handler(server: SRServer):
             t0 = time.perf_counter()
             sr = server.upscale(img)
             dt = (time.perf_counter() - t0) * 1e3
-            buf = io.BytesIO()
-            # compress_level 1: zlib "fastest". The serving host is often a
-            # single-core TPU-VM slice where default-level PNG encode of a
-            # large SR output costs more wall time than the forward itself.
-            sr.save(buf, format="PNG", compress_level=server.png_level)
+            # C++ fast PNG encode (zlib level 1 by default): on a
+            # single-core TPU-VM host, PIL's encode of a large SR output
+            # costs more wall time than the jitted forward itself; the
+            # native path is ~2x faster and releases the GIL.
+            body = encode_png_rgb8(np.asarray(sr), server.png_level)
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
-            self.send_header("Content-Length", str(buf.getbuffer().nbytes))
+            self.send_header("Content-Length", str(len(body)))
             self.send_header("X-Inference-Ms", f"{dt:.1f}")
             self.end_headers()
-            self.wfile.write(buf.getvalue())
+            self.wfile.write(body)
 
     return Handler
 
@@ -305,7 +333,7 @@ def main():
     srv = SRServer(a.architecture, a.checkpoint or None, a.scale_factor,
                    a.tile, png_level=a.png_level, use_mesh=a.mesh,
                    max_batch=a.max_batch)
-    httpd = ThreadingHTTPServer((a.host, a.port), make_handler(srv))
+    httpd = SRHTTPServer((a.host, a.port), make_handler(srv))
     print(f"serving {a.architecture} x{a.scale_factor} on "
           f"http://{a.host}:{a.port}  (POST /sr, GET /healthz)")
     httpd.serve_forever()

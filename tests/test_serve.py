@@ -73,12 +73,13 @@ def test_tiled_batched_matches_tiled_apply(server):
     import jax.numpy as jnp
     from food101_sr_tpu.parallel.spatial import tiled_apply
 
-    xp = np.random.default_rng(5).uniform(0, 1, (64, 96, 3)).astype(np.float32)
+    xp = np.random.default_rng(5).integers(0, 256, (64, 96, 3), dtype=np.uint8)
     ref = np.asarray(tiled_apply(server._fwd, jnp.asarray(xp[None]), 4,
                                  server.tile, server.halo)[0])
     got = server._upscale_tiled(xp)
     assert got.shape == ref.shape
-    assert np.abs(got - ref).max() < 1e-5
+    assert ref.dtype == got.dtype == np.uint8
+    assert np.abs(got.astype(np.int16) - ref.astype(np.int16)).max() <= 1
 
 
 def test_tiled_requests_coalesce(server):

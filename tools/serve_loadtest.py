@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Concurrency load test for serve.py.
+
+POSTs one image repeatedly from N concurrent workers and prints a single
+JSON line with throughput and latency percentiles:
+
+    python serve.py --architecture SRCNN --port 8701 &
+    python tools/serve_loadtest.py --port 8701 --concurrency 32 --requests 256
+
+(The reference project has no serving path at all — its closest analogue is
+the offline per-image timing table in reference visualize.py:114-122.)
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import time
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+from PIL import Image
+
+
+def make_image(w: int, h: int, seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    img = Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8700)
+    p.add_argument("--concurrency", type=int, default=32)
+    p.add_argument("--requests", type=int, default=256)
+    p.add_argument("--width", type=int, default=56)
+    p.add_argument("--height", type=int, default=40)
+    p.add_argument("--warmup", type=int, default=8,
+                   help="untimed requests first (compile + cache warm)")
+    a = p.parse_args()
+
+    url = f"http://{a.host}:{a.port}/sr"
+    body = make_image(a.width, a.height)
+
+    def one(_):
+        t0 = time.perf_counter()
+        req = urllib.request.Request(url, data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = r.read()
+        assert out[:4] == b"\x89PNG", "bad response"
+        return time.perf_counter() - t0
+
+    with ThreadPoolExecutor(max_workers=a.concurrency) as pool:
+        list(pool.map(one, range(a.warmup)))  # warm: compile + PIL caches
+        t0 = time.perf_counter()
+        lat = sorted(pool.map(one, range(a.requests)))
+        wall = time.perf_counter() - t0
+
+    def pct(q):
+        return lat[min(len(lat) - 1, int(q * len(lat)))] * 1e3
+
+    print(json.dumps({
+        "requests": a.requests, "concurrency": a.concurrency,
+        "req_per_s": round(a.requests / wall, 2),
+        "p50_ms": round(pct(0.50), 1), "p95_ms": round(pct(0.95), 1),
+        "max_ms": round(pct(1.0), 1),
+        "image": f"{a.width}x{a.height}",
+    }))
+
+
+if __name__ == "__main__":
+    main()
