@@ -1,6 +1,7 @@
 from .pipeline import (
     SRDataLoader,
     load_hr_crop,
+    load_sample,
     prepare_batch,
     subset_indices,
     train_val_split,
@@ -12,6 +13,7 @@ __all__ = [
     "SRDataLoader",
     "SyntheticSource",
     "load_hr_crop",
+    "load_sample",
     "prepare_batch",
     "subset_indices",
     "train_val_split",

@@ -73,6 +73,52 @@ def load_hr_crop(
     return np.ascontiguousarray(crop)
 
 
+def load_sample(source, i: int, crop_size: int, train: bool,
+                rng: np.random.Generator) -> np.ndarray:
+    """One HR crop from ``source[i]``, via the fastest available path.
+
+    When the source exposes raw JPEG bytes (``bytes_at``) and the image is
+    at least crop-sized, only the crop region is decoded (libjpeg
+    jpeg_crop_scanline/jpeg_skip_scanlines via native/fast_jpeg.cpp) —
+    ~3x cheaper per sample than the reference's full PIL decode
+    (reference src/dataset.py:28) for 512px Food-101 images at crop 200.
+
+    Every path consumes the augmentation RNG in the same order and the
+    native region decode is pixel-identical to full-decode-then-crop, so
+    batches are byte-identical whether or not the native library exists.
+    """
+    data = source.bytes_at(i) if hasattr(source, "bytes_at") else None
+    if data is not None:
+        from ..native import decode_jpeg_crop_rgb8, jpeg_dims
+
+        dims = jpeg_dims(data)
+        if dims is not None and dims[0] >= crop_size and dims[1] >= crop_size:
+            w, h = dims
+            if train:
+                top = int(rng.integers(0, h - crop_size + 1))
+                left = int(rng.integers(0, w - crop_size + 1))
+            else:
+                top = (h - crop_size) // 2
+                left = (w - crop_size) // 2
+            crop = decode_jpeg_crop_rgb8(data, left, top, crop_size, crop_size)
+            if crop is None:  # exotic stream (e.g. CMYK): decode fully
+                import io
+
+                arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"),
+                                 np.uint8)
+                crop = arr[top:top + crop_size, left:left + crop_size, :3]
+            if train and rng.random() < 0.5:
+                crop = crop[:, ::-1, :]
+            return np.ascontiguousarray(crop)
+        if dims is not None:  # needs resize-if-small: PIL semantics
+            import io
+
+            return load_hr_crop(Image.open(io.BytesIO(data)).convert("RGB"),
+                                crop_size, train, rng)
+        # no native decoder: PIL full path (same RNG order, same pixels)
+    return load_hr_crop(source[i], crop_size, train, rng)
+
+
 # ---------------------------------------------------------------------------
 # Device-side batch preparation (call inside jit)
 # ---------------------------------------------------------------------------
@@ -183,8 +229,8 @@ class SRDataLoader:
         def one(pos_and_idx):
             pos, i = pos_and_idx
             rng = np.random.default_rng((self.seed, epoch, int(pos)))
-            return load_hr_crop(self.source[int(i)], self.crop_size,
-                                self.train, rng)
+            return load_sample(self.source, int(i), self.crop_size,
+                               self.train, rng)
 
         pi, pc = self._process_index, self._process_count
         try:

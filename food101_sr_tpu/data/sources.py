@@ -47,6 +47,13 @@ class Food101Source:
     def __getitem__(self, i: int) -> Image.Image:
         return Image.open(self.paths[i]).convert("RGB")
 
+    def bytes_at(self, i: int) -> bytes:
+        """Raw JPEG bytes — lets the loader use the native fused
+        decode-crop path (native/fast_jpeg.cpp) instead of a full PIL
+        decode per sample."""
+        with open(self.paths[i], "rb") as f:
+            return f.read()
+
 
 class SyntheticSource:
     """Deterministic procedural RGB images with SR-relevant structure

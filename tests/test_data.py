@@ -148,3 +148,78 @@ def test_process_local_slice_partitions_batch():
         assert all(len(s) == 16 // pc for s in shards)
         flat = sorted(x for s in shards for x in s)
         assert flat == items
+
+
+# ---------------------------------------------------------------------------
+# Food101Source + native fused decode-crop path
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def food101_tree(tmp_path):
+    """Minimal on-disk Food-101 layout (the torchvision-managed structure the
+    reference downloads, reference src/dataset.py:10) with photo-like JPEGs,
+    including one smaller than the crop to exercise resize-if-small."""
+    base = tmp_path / "food-101"
+    (base / "meta").mkdir(parents=True)
+    (base / "images" / "pizza").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    rel, sizes = [], [(300, 400), (240, 320), (64, 80), (333, 211)]
+    for k, (h, w) in enumerate(sizes):
+        x = rng.integers(0, 255, (h, w, 3)).astype(np.float32)
+        for _ in range(2):
+            x = (x + np.roll(x, 1, 0) + np.roll(x, 1, 1)) / 3
+        img = Image.fromarray(np.clip(x, 0, 255).astype(np.uint8))
+        img.save(base / "images" / "pizza" / f"im{k}.jpg", quality=90)
+        rel.append(f"pizza/im{k}")
+    (base / "meta" / "train.txt").write_text("\n".join(rel) + "\n")
+    return tmp_path
+
+
+def test_food101_source_reads_tree(food101_tree):
+    from food101_sr_tpu.data import Food101Source
+
+    src = Food101Source(root=str(food101_tree), split="train")
+    assert len(src) == 4
+    assert np.asarray(src[0]).ndim == 3
+    assert isinstance(src.bytes_at(1), bytes)
+
+
+def test_load_sample_native_path_matches_pil_path(food101_tree):
+    """Batches must be byte-identical with and without the native JPEG
+    library (same RNG consumption, pixel-equal decode), across the
+    region-decode, resize-if-small, and eval-center-crop paths."""
+    from food101_sr_tpu import native
+    from food101_sr_tpu.data import Food101Source, load_sample
+
+    src = Food101Source(root=str(food101_tree), split="train")
+    assert native.jpeg_available()
+
+    for train in (True, False):
+        for i in range(len(src)):
+            a = load_sample(src, i, 128, train, np.random.default_rng((5, i)))
+            # force the pure-PIL fallback: no bytes_at on the source view
+            class _NoBytes:
+                def __init__(self, s):
+                    self._s = s
+
+                def __getitem__(self, j):
+                    return self._s[j]
+
+            b = load_sample(_NoBytes(src), i, 128, train,
+                            np.random.default_rng((5, i)))
+            np.testing.assert_array_equal(a, b)
+            assert a.shape == (128, 128, 3) and a.dtype == np.uint8
+
+
+def test_loader_over_food101_source(food101_tree):
+    from food101_sr_tpu.data import Food101Source
+
+    src = Food101Source(root=str(food101_tree), split="train")
+    loader = SRDataLoader(src, crop_size=96, batch_size=2, train=True, seed=3)
+    batches = [np.asarray(b) for b in loader]
+    assert len(batches) == 2
+    assert batches[0].shape == (2, 96, 96, 3)
+    loader2 = SRDataLoader(src, crop_size=96, batch_size=2, train=True, seed=3)
+    loader2.set_epoch(0)
+    for x, y in zip(batches, loader2):
+        np.testing.assert_array_equal(x, np.asarray(y))
