@@ -205,6 +205,31 @@ class SRServer:
                                      sharding=sharding)
         self.n_served = 0
 
+    def warmup(self, sizes=None):
+        """Precompile the serving programs before taking traffic.
+
+        XLA compiles one program per (shape bucket, occupancy slice); a
+        cold compile can take minutes on a fresh cache, which otherwise
+        lands on the first unlucky request of each bucket (and stalls the
+        whole batcher behind it). Warms each LR shape bucket in ``sizes``
+        (default: the single-tile bucket and the tiled-path window bucket)
+        at every power-of-two D2H occupancy.
+        """
+        if sizes is None:
+            win = self.tile + 2 * self.halo
+            sizes = [(self.tile, self.tile), (win, win)]
+        mb = self._batcher
+        for h, w in sizes:
+            stack = np.zeros((mb.max_batch, h, w, 3), np.uint8)
+            dev = (jax.device_put(stack, mb.sharding)
+                   if mb.sharding is not None else jnp.asarray(stack))
+            n = 1
+            while True:
+                np.asarray(self._fwd(dev)[:n])
+                if n >= mb.max_batch:
+                    break
+                n = min(2 * n, mb.max_batch)
+
     def upscale(self, img: Image.Image) -> Image.Image:
         x = np.asarray(img.convert("RGB"), np.uint8)
         h, w = x.shape[:2]
@@ -326,6 +351,13 @@ def main():
     p.add_argument("--max_batch", type=int, default=8,
                    help="micro-batcher device batch size (rounded up to a "
                         "multiple of the mesh size with --mesh)")
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile the common shape buckets before "
+                        "listening (cold XLA compiles otherwise land on "
+                        "the first request of each bucket)")
+    p.add_argument("--warmup_sizes", default="",
+                   help="comma-separated HxW LR bucket sizes to warm, e.g. "
+                        "'64x64,224x224' (implies --warmup)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8700)
     a = p.parse_args()
@@ -333,6 +365,14 @@ def main():
     srv = SRServer(a.architecture, a.checkpoint or None, a.scale_factor,
                    a.tile, png_level=a.png_level, use_mesh=a.mesh,
                    max_batch=a.max_batch)
+    if a.warmup or a.warmup_sizes:
+        sizes = None
+        if a.warmup_sizes:
+            sizes = [tuple(int(v) for v in s.split("x"))
+                     for s in a.warmup_sizes.split(",") if s]
+        t0 = time.perf_counter()
+        srv.warmup(sizes)
+        print(f"warmup done in {time.perf_counter() - t0:.1f}s")
     httpd = SRHTTPServer((a.host, a.port), make_handler(srv))
     print(f"serving {a.architecture} x{a.scale_factor} on "
           f"http://{a.host}:{a.port}  (POST /sr, GET /healthz)")

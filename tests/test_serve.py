@@ -122,6 +122,17 @@ def test_mesh_serving_matches_single_device(server):
         assert np.abs(a - b).max() <= 1
 
 
+def test_warmup_precompiles_without_traffic(server):
+    """warmup() must not consume batcher slots and must leave results
+    unchanged."""
+    before = np.asarray(server.upscale(_img(20, 12, seed=40)), np.int16)
+    b0, i0 = server._batcher.n_batches, server._batcher.n_items
+    server.warmup()
+    assert (server._batcher.n_batches, server._batcher.n_items) == (b0, i0)
+    after = np.asarray(server.upscale(_img(20, 12, seed=40)), np.int16)
+    np.testing.assert_array_equal(before, after)
+
+
 def test_micro_batcher_coalesces_concurrent_requests(server):
     """Concurrent same-size requests must produce results identical to
     serial calls AND coalesce into fewer device batches."""
