@@ -110,12 +110,12 @@ def load_sample(source, i: int, crop_size: int, train: bool,
             if train and rng.random() < 0.5:
                 crop = crop[:, ::-1, :]
             return np.ascontiguousarray(crop)
-        if dims is not None:  # needs resize-if-small: PIL semantics
-            import io
+        # resize-if-small (PIL semantics), or no native decoder: decode the
+        # bytes we already read instead of re-reading the file via source[i]
+        import io
 
-            return load_hr_crop(Image.open(io.BytesIO(data)).convert("RGB"),
-                                crop_size, train, rng)
-        # no native decoder: PIL full path (same RNG order, same pixels)
+        return load_hr_crop(Image.open(io.BytesIO(data)).convert("RGB"),
+                            crop_size, train, rng)
     return load_hr_crop(source[i], crop_size, train, rng)
 
 

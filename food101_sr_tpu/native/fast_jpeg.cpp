@@ -120,7 +120,9 @@ int fastjpeg_decode_crop_rgb8(const unsigned char* buf, long len, int x0,
   cinfo.err = jpeg_std_error(&err.pub);
   err.pub.error_exit = on_error;
   err.pub.emit_message = on_message;
-  unsigned char* scratch = nullptr;
+  // volatile: modified between setjmp and a potential longjmp — without it
+  // the error path would read an indeterminate pointer (C setjmp rules)
+  unsigned char* volatile scratch = nullptr;
   if (setjmp(err.jump)) {
     delete[] scratch;
     jpeg_destroy_decompress(&cinfo);

@@ -57,6 +57,24 @@ def window_starts(size: int, tile: int, halo: int):
     return [min(max(i * tile - halo, 0), size - win) for i in range(n)], n, win
 
 
+def plan_windows(h: int, w: int, tile: int, halo: int):
+    """Window geometry shared by every tiled path (tiled_apply here, the
+    serving tiler in serve.py): clamp the halo to what the image allows,
+    then compute clamped per-axis window starts.
+
+    Returns (starts_h, starts_w, win_h, win_w). The owned interior of tile
+    (i, j) begins at ``(i*tile - starts_h[i], j*tile - starts_w[j])`` inside
+    its window (0 at clamped borders).
+    """
+    win_h = min(tile + 2 * halo, h)
+    win_w = min(tile + 2 * halo, w)
+    halo_h = (win_h - tile) // 2
+    halo_w = (win_w - tile) // 2
+    starts_h, _, win_h = window_starts(h, tile, halo_h)
+    starts_w, _, win_w = window_starts(w, tile, halo_w)
+    return starts_h, starts_w, win_h, win_w
+
+
 def tiled_apply(
     forward: Callable[[jnp.ndarray], jnp.ndarray],
     images: jnp.ndarray,
@@ -90,12 +108,8 @@ def tiled_apply(
     b, h, w, c = images.shape
     if h % tile or w % tile:
         raise ValueError(f"H={h}, W={w} must be multiples of tile={tile}")
-    win_h = min(tile + 2 * halo, h)
-    win_w = min(tile + 2 * halo, w)
-    halo_h = (win_h - tile) // 2
-    halo_w = (win_w - tile) // 2
-    starts_h, nh, win_h = window_starts(h, tile, halo_h)
-    starts_w, nw, win_w = window_starts(w, tile, halo_w)
+    starts_h, starts_w, win_h, win_w = plan_windows(h, w, tile, halo)
+    nh, nw = len(starts_h), len(starts_w)
 
     # Gather overlapping windows: (B, nh, nw, win_h, win_w, C) -> flat batch.
     rows = jnp.stack([images[:, s : s + win_h] for s in starts_h], axis=1)

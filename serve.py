@@ -25,6 +25,16 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from food101_sr_tpu.models import get_model
+from food101_sr_tpu.native import encode_png_rgb8
+from food101_sr_tpu.parallel.spatial import RECEPTIVE_RADIUS, plan_windows
+from food101_sr_tpu.training import load_checkpoint
+
 
 class SRHTTPServer(ThreadingHTTPServer):
     """ThreadingHTTPServer with a listen backlog sized for bursty serving.
@@ -36,17 +46,6 @@ class SRHTTPServer(ThreadingHTTPServer):
     """
 
     request_queue_size = 128
-    daemon_threads = True
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-from PIL import Image
-
-from food101_sr_tpu.models import get_model
-from food101_sr_tpu.native import encode_png_rgb8
-from food101_sr_tpu.parallel.spatial import RECEPTIVE_RADIUS, window_starts
-from food101_sr_tpu.training import load_checkpoint
 
 
 class MicroBatcher:
@@ -204,6 +203,7 @@ class SRServer:
         self._batcher = MicroBatcher(self._fwd, max_batch=max_batch,
                                      sharding=sharding)
         self.n_served = 0
+        self._served_lock = threading.Lock()
 
     def warmup(self, sizes=None):
         """Precompile the serving programs before taking traffic.
@@ -243,41 +243,43 @@ class SRServer:
             out = self._batcher.submit(xp)
         else:
             out = self._upscale_tiled(xp)
-        self.n_served += 1
+        with self._served_lock:  # += from concurrent handler threads races
+            self.n_served += 1
         return Image.fromarray(out[: h * self.scale, : w * self.scale])
 
     def _upscale_tiled(self, xp: np.ndarray) -> np.ndarray:
         """Large image -> overlap windows -> micro-batcher -> stitched SR.
 
-        Same window/halo math as parallel.spatial.tiled_apply (exact for
-        halo >= the model's receptive-field radius), but the windows go
-        through the shared MicroBatcher instead of a private device call:
-        every window is one queue item, so windows of concurrent requests
-        (and leftover capacity under small-image traffic of the same window
-        bucket) coalesce into max_batch device batches. Removes the serial
-        per-request lock the first serving version had."""
+        Same window/halo math as parallel.spatial.tiled_apply (shared via
+        plan_windows; exact for halo >= the model's receptive-field
+        radius), but the windows go through the shared MicroBatcher
+        instead of a private device call: every window is one queue item,
+        so windows of concurrent requests (and leftover capacity under
+        small-image traffic of the same window bucket) coalesce into
+        max_batch device batches.
+
+        Windows are submitted in bounded chunks and stitched as each chunk
+        completes: a huge-but-legal request (thousands of windows) would
+        otherwise hold every SR window in host RAM at once — ~(win/tile)^2
+        times the final image — and OOM a small serving host."""
         h, w, c = xp.shape
-        win_h = min(self.tile + 2 * self.halo, h)
-        win_w = min(self.tile + 2 * self.halo, w)
-        halo_h = (win_h - self.tile) // 2
-        halo_w = (win_w - self.tile) // 2
-        starts_h, _, win_h = window_starts(h, self.tile, halo_h)
-        starts_w, _, win_w = window_starts(w, self.tile, halo_w)
-        wins = [np.ascontiguousarray(xp[sh:sh + win_h, sw:sw + win_w])
-                for sh in starts_h for sw in starts_w]
-        outs = self._batcher.submit_many(wins)
-        s = self.scale
+        tile, s = self.tile, self.scale
+        starts_h, starts_w, win_h, win_w = plan_windows(h, w, tile, self.halo)
+        coords = [(i, sh, j, sw) for i, sh in enumerate(starts_h)
+                  for j, sw in enumerate(starts_w)]
         sr = np.empty((h * s, w * s, c), np.uint8)
-        k = 0
-        for i, sh in enumerate(starts_h):
-            off_h = (i * self.tile - sh) * s
-            for j, sw in enumerate(starts_w):
-                off_w = (j * self.tile - sw) * s
-                sr[i * self.tile * s:(i + 1) * self.tile * s,
-                   j * self.tile * s:(j + 1) * self.tile * s] = \
-                    outs[k][off_h:off_h + self.tile * s,
-                            off_w:off_w + self.tile * s]
-                k += 1
+        chunk = 4 * self._batcher.max_batch
+        for c0 in range(0, len(coords), chunk):
+            part = coords[c0:c0 + chunk]
+            wins = [np.ascontiguousarray(xp[sh:sh + win_h, sw:sw + win_w])
+                    for _, sh, _, sw in part]
+            for (i, sh, j, sw), out in zip(part,
+                                           self._batcher.submit_many(wins)):
+                off_h = (i * tile - sh) * s
+                off_w = (j * tile - sw) * s
+                sr[i * tile * s:(i + 1) * tile * s,
+                   j * tile * s:(j + 1) * tile * s] = \
+                    out[off_h:off_h + tile * s, off_w:off_w + tile * s]
         return sr
 
 
