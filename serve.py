@@ -285,6 +285,11 @@ class SRServer:
 
 def make_handler(server: SRServer):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: every response carries Content-Length, so
+        # clients can reuse connections — on a single-core host the TCP
+        # accept+teardown per request is measurable at high request rates
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 

@@ -13,10 +13,11 @@ the offline per-image timing table in reference visualize.py:114-122.)
 from __future__ import annotations
 
 import argparse
+import http.client
 import io
 import json
+import threading
 import time
-import urllib.request
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -43,14 +44,25 @@ def main():
                    help="untimed requests first (compile + cache warm)")
     a = p.parse_args()
 
-    url = f"http://{a.host}:{a.port}/sr"
     body = make_image(a.width, a.height)
+    local = threading.local()  # one keep-alive connection per worker
 
     def one(_):
         t0 = time.perf_counter()
-        req = urllib.request.Request(url, data=body, method="POST")
-        with urllib.request.urlopen(req, timeout=600) as r:
-            out = r.read()
+        for attempt in (0, 1):  # reconnect once on a dropped keep-alive
+            conn = getattr(local, "conn", None)
+            if conn is None:
+                conn = http.client.HTTPConnection(a.host, a.port, timeout=600)
+                local.conn = conn
+            try:
+                conn.request("POST", "/sr", body=body)
+                out = conn.getresponse().read()
+                break
+            except (http.client.HTTPException, OSError):
+                conn.close()
+                local.conn = None
+                if attempt:
+                    raise
         assert out[:4] == b"\x89PNG", "bad response"
         return time.perf_counter() - t0
 
