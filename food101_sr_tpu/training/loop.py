@@ -249,6 +249,10 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
                 log_data = {k: float(v) for k, v in metrics.items()}
                 log_data.update({k: float(v) for k, v in d_metrics.items()})
                 logger.log(log_data)
+                if log_data.get("nonfinite_steps", 0) or \
+                        log_data.get("nonfinite_steps_D", 0):
+                    print(f"WARNING: non-finite loss/grads at epoch {epoch} "
+                          f"step {batch_idx}; update skipped (state kept)")
         if profiling:  # epoch shorter than the requested trace window
             jax.profiler.stop_trace()
             print(f"Wrote device trace to {cfg['profile_dir']}")

@@ -37,10 +37,31 @@ def _apply_train(model, params, extra, x):
     return out, new_extra
 
 
+def select_state(ok, new_state, old_state):
+    """In-graph failure guard: keep ``new_state`` only when ``ok``.
+
+    The reference has no failure handling at all (SURVEY §5: no try/except
+    around training); here one non-finite batch (inf loss from an fp
+    overflow, NaN grads from a degenerate crop) would otherwise poison
+    Adam's moments and every later step. An XLA select keeps the whole
+    state — params, optimizer moments, extra collections, step counter —
+    untouched for skipped steps, with no host sync in the hot loop.
+    """
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(ok, n, o), new_state, old_state)
+
+
+def _finite_guard(loss, gnorm):
+    """ok when the loss and the global grad norm are finite (the norm is
+    NaN/inf iff any grad leaf is, and overflows for absurdly large but
+    technically finite grads — which deserve a skip too)."""
+    return jnp.isfinite(loss) & jnp.isfinite(gnorm)
+
+
 def make_train_step(model, loss_fn: Callable, scale: int,
                     first_path: str, last_path: str):
     """Supervised (non-GAN) step: loss + grads + Adam update + in-graph
-    dynamics diagnostics."""
+    dynamics diagnostics + non-finite step guard."""
 
     def train_step(state: SRTrainState, hr_u8: jnp.ndarray):
         lr_img, hr = prepare_batch(hr_u8, scale)
@@ -53,13 +74,18 @@ def make_train_step(model, loss_fn: Callable, scale: int,
             state.params
         )
         lr_val = state.learning_rate
+        gnorm = grad_norm(grads)
+        ok = _finite_guard(loss, gnorm)
         metrics = {
             "train_loss": loss,
-            "dynamics/grad_norm": grad_norm(grads),
+            "dynamics/grad_norm": gnorm,
             "dynamics/layer_ratio": layer_grad_ratio(grads, first_path, last_path),
             "dynamics/update_ratio": update_ratio(state.params, grads, lr_val),
+            "nonfinite_steps": 1.0 - ok.astype(jnp.float32),
         }
-        return state.apply_updates(grads, new_extra), metrics
+        new_state = select_state(ok, state.apply_updates(grads, new_extra),
+                                 state)
+        return new_state, metrics
 
     return train_step
 
@@ -128,11 +154,14 @@ def make_gan_d_step(g_model, d_model, scale: int, noise_sigma: float = 0.2):
         (loss, (new_extra, prob_real, prob_fake)), grads = jax.value_and_grad(
             loss_of, has_aux=True
         )(d_state.params)
-        new_d = d_state.apply_updates(grads, new_extra)
+        ok = _finite_guard(loss, grad_norm(grads))
+        new_d = select_state(ok, d_state.apply_updates(grads, new_extra),
+                             d_state)
         metrics = {
             "train_loss_D": loss,
             "gan_dynamics/prob_real": prob_real,
             "gan_dynamics/prob_fake": prob_fake,
+            "nonfinite_steps_D": 1.0 - ok.astype(jnp.float32),
         }
         return new_d, metrics
 
@@ -169,14 +198,17 @@ def make_gan_g_step(g_model, d_model, perceptual_fn, scale: int,
             loss_of, has_aux=True
         )(g_state.params)
         lr_val = g_state.learning_rate
+        gnorm = grad_norm(grads)
+        ok = _finite_guard(loss, gnorm)
         metrics = {
             "train_loss": loss,
-            "dynamics/grad_norm": grad_norm(grads),
+            "dynamics/grad_norm": gnorm,
             "dynamics/layer_ratio": layer_grad_ratio(grads, first_path, last_path),
             "dynamics/update_ratio": update_ratio(g_state.params, grads, lr_val),
+            "nonfinite_steps": 1.0 - ok.astype(jnp.float32),
         }
-        new_g = g_state.apply_updates(grads, g_extra)
-        new_d = d_state.replace(extra=d_extra)
+        new_g = select_state(ok, g_state.apply_updates(grads, g_extra), g_state)
+        new_d = select_state(ok, d_state.replace(extra=d_extra), d_state)
         return new_g, new_d, metrics
 
     return g_step

@@ -254,3 +254,62 @@ def test_gan_d_loss_formula_matches_torch():
     t_fake = bce(tf - tr.mean(), torch.full_like(tf, 0.1))
     want = float((t_real + t_fake) / 2.0)
     np.testing.assert_allclose(ours, want, rtol=1e-6)
+
+
+def test_nonfinite_step_guard_keeps_state():
+    """A batch producing non-finite loss/grads must leave the whole state
+    (params, optimizer moments, step counter) untouched and flag it in the
+    metrics, instead of poisoning Adam's moments (reference has no failure
+    handling at all, SURVEY §5)."""
+    model = SRCNN(scale_factor=2)
+    state = _make_state(model, (1, 16, 16, 3), lr=1e-3)
+
+    def exploding_loss(sr, hr):
+        # finite for normal images, NaN when the batch is all-zero
+        bad = jnp.all(hr == 0.0)
+        return jnp.where(bad, jnp.nan, mse_loss(sr, hr))
+
+    step = jax.jit(make_train_step(model, exploding_loss, 2, "conv1", "conv3"))
+    good, bad = _batch(2, 32), jnp.zeros((2, 32, 32, 3), jnp.uint8)
+
+    state, m = step(state, good)
+    assert float(m["nonfinite_steps"]) == 0.0
+    before = jax.tree_util.tree_map(np.asarray, (state.params, state.opt_state,
+                                                 state.step))
+    state2, m2 = step(state, bad)
+    assert float(m2["nonfinite_steps"]) == 1.0
+    after = jax.tree_util.tree_map(np.asarray, (state2.params, state2.opt_state,
+                                                state2.step))
+    for b, a in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(b, a)
+    # training continues normally after the skipped step
+    state3, m3 = step(state2, good)
+    assert float(m3["nonfinite_steps"]) == 0.0
+    assert int(state3.step) == int(state.step) + 1
+
+
+def test_gan_steps_guard_nonfinite():
+    """The GAN G/D steps carry the same guard flags (zero on healthy
+    batches)."""
+    g_model = SRCNN(scale_factor=2)
+    d_model = Discriminator(nf=8)
+    g_state = _make_state(g_model, (1, 8, 8, 3), lr=1e-4)
+    rng = jax.random.PRNGKey(0)
+    d_vars = d_model.init({"params": rng}, jnp.zeros((1, 16, 16, 3)),
+                          train=False)
+    d_state = SRTrainState.create(dict(d_vars), make_adam(1e-5))
+
+    from food101_sr_tpu.training import make_gan_g_step
+
+    def fake_percep(sr, hr):
+        return mse_loss(sr, hr)
+
+    d_step = jax.jit(make_gan_d_step(g_model, d_model, 2))
+    g_step = jax.jit(make_gan_g_step(g_model, d_model, fake_percep, 2,
+                                     "conv1", "conv3"))
+    hr = _batch(2, 16)
+    d_state, dm = d_step(g_state, d_state, hr, jax.random.PRNGKey(1))
+    assert float(dm["nonfinite_steps_D"]) == 0.0
+    g_state, d_state, gm = g_step(g_state, d_state, hr)
+    assert float(gm["nonfinite_steps"]) == 0.0
