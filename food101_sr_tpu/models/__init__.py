@@ -12,7 +12,8 @@ from .layers import (
     icnr_kaiming_normal,
     kaiming_normal,
 )
-from .registry import get_model, model_names, param_count
+from .registry import (detect_architecture, get_model, model_for_params,
+                       model_names, param_count)
 from .srcnn import SRCNN
 from .resnet_sr import ResNetSR
 
@@ -29,7 +30,9 @@ __all__ = [
     "SNDense",
     "SRCNN",
     "UpsampleBlock",
+    "detect_architecture",
     "get_model",
+    "model_for_params",
     "icnr_kaiming_normal",
     "kaiming_normal",
     "model_names",

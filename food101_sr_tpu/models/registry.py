@@ -47,6 +47,46 @@ def model_names():
     return list(_REGISTRY)
 
 
+def detect_architecture(params) -> str:
+    """Architecture name from a params pytree's structure (checkpoints
+    store no metadata — like the reference's bare ``state_dict`` files,
+    reference src/utils.py:40-46, the tensors themselves are the schema)."""
+    if "block_0" in params:
+        return "Discriminator"
+    if "conv1" in params and "input_conv" not in params:
+        return "SRCNN"
+    if "se" in params.get("res_0", {}):
+        return "AttentionSR"
+    if "bn1" in params.get("res_0", {}):
+        return "RESNET"
+    raise ValueError("unrecognized checkpoint: params do not match any "
+                     "known architecture")
+
+
+def model_for_params(params, scale_factor: int = 4, dtype: Any = None,
+                     remat: bool = False) -> nn.Module:
+    """Construct the module matching a loaded checkpoint, inferring
+    width/depth from tensor shapes — so non-registry variants (e.g. the
+    reference analysis tools' 64-channel AttentionSR,
+    reference src/analyze_models.py:20) load without flags."""
+    arch = detect_architecture(params)
+    if arch == "SRCNN":
+        return SRCNN(scale_factor=scale_factor,
+                     hidden_dim=params["conv2"]["conv"]["kernel"].shape[-1],
+                     dtype=dtype)
+    if arch == "Discriminator":
+        return Discriminator(nf=params["block_0"]["sn"]["kernel"].shape[-1],
+                             dtype=dtype)
+    cls = AttentionSR if arch == "AttentionSR" else ResNetSR
+    return cls(
+        scale_factor=scale_factor,
+        num_channels=params["input_conv"]["conv"]["kernel"].shape[-1],
+        num_residuals=1 + max(int(k.split("_")[1]) for k in params
+                              if k.startswith("res_")),
+        dtype=dtype, remat=remat,
+    )
+
+
 def param_count(params) -> int:
     """Total trainable parameter count of a params pytree (the TPU-side
     replacement for the reference's torchinfo tables,

@@ -161,23 +161,41 @@ class SRServer:
                  scale: int = 4, tile: int = 64, dtype=jnp.bfloat16,
                  png_level: int = 1, use_mesh: bool = False,
                  max_batch: int = 8):
-        self.arch = architecture
         self.scale = scale
         self.tile = tile
         self.png_level = png_level
-        self.halo = RECEPTIVE_RADIUS.get(architecture, 80)
-        self.model = get_model(architecture, scale_factor=scale, dtype=dtype)
-        variables = self.model.init(
-            {"params": jax.random.PRNGKey(0)},
-            jnp.zeros((1, 16, 16, 3), jnp.float32), train=False)
-        if checkpoint:
-            tree = {"params": variables["params"],
-                    "extra": {k: v for k, v in variables.items()
-                              if k != "params"}}
-            loaded = load_checkpoint(checkpoint, tree)
-            self.variables = {"params": loaded["params"], **loaded["extra"]}
+        if architecture == "auto":
+            # Infer the network (incl. non-registry width/depth variants)
+            # from the checkpoint's tensor shapes — checkpoints carry no
+            # metadata, mirroring the reference's bare state_dict files.
+            if not checkpoint:
+                raise ValueError("--architecture auto requires --checkpoint")
+            from food101_sr_tpu.models import (detect_architecture,
+                                               model_for_params)
+
+            loaded = load_checkpoint(checkpoint)
+            architecture = detect_architecture(loaded["params"])
+            self.model = model_for_params(loaded["params"],
+                                          scale_factor=scale, dtype=dtype)
+            self.variables = {"params": loaded["params"],
+                              **loaded.get("extra", {})}
         else:
-            self.variables = variables  # random weights (smoke/serving test)
+            self.model = get_model(architecture, scale_factor=scale,
+                                   dtype=dtype)
+            variables = self.model.init(
+                {"params": jax.random.PRNGKey(0)},
+                jnp.zeros((1, 16, 16, 3), jnp.float32), train=False)
+            if checkpoint:
+                tree = {"params": variables["params"],
+                        "extra": {k: v for k, v in variables.items()
+                                  if k != "params"}}
+                loaded = load_checkpoint(checkpoint, tree)
+                self.variables = {"params": loaded["params"],
+                                  **loaded["extra"]}
+            else:
+                self.variables = variables  # random weights (smoke tests)
+        self.arch = architecture
+        self.halo = RECEPTIVE_RADIUS.get(architecture, 80)
         # uint8 in / uint8 out: ToTensor and the 255-quantization both run
         # on device, so host<->device traffic is 4x smaller than shipping
         # float32 either way (the PCIe/tunnel D2H link, not the MXU, is the
@@ -345,7 +363,9 @@ def make_handler(server: SRServer):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--architecture", default="AttentionSR")
+    p.add_argument("--architecture", default="AttentionSR",
+                   help="model name, or 'auto' to infer architecture and "
+                        "width/depth from --checkpoint tensor shapes")
     p.add_argument("--checkpoint", default="",
                    help="orbax checkpoint dir; empty = random init (smoke)")
     p.add_argument("--scale_factor", type=int, default=4)

@@ -205,3 +205,34 @@ def test_remat_gradients_match():
     for a, b in zip(jax.tree_util.tree_leaves(grads[0]),
                     jax.tree_util.tree_leaves(grads[1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-7)
+
+
+def test_model_for_params_infers_nonregistry_variants():
+    """Architecture + width/depth inference from params covers variants the
+    registry doesn't list (e.g. the reference analysis tools' 64-channel
+    AttentionSR, reference src/analyze_models.py:20)."""
+    import jax
+    import jax.numpy as jnp
+
+    from food101_sr_tpu.models import (AttentionSR, Discriminator, ResNetSR,
+                                       SRCNN, detect_architecture,
+                                       model_for_params)
+
+    cases = [
+        (SRCNN(scale_factor=2, hidden_dim=24), "SRCNN",
+         {"hidden_dim": 24}),
+        (ResNetSR(scale_factor=4, num_channels=20, num_residuals=3), "RESNET",
+         {"num_channels": 20, "num_residuals": 3}),
+        (AttentionSR(scale_factor=4, num_channels=64, num_residuals=5),
+         "AttentionSR", {"num_channels": 64, "num_residuals": 5}),
+        (Discriminator(nf=16), "Discriminator", {"nf": 16}),
+    ]
+    for module, arch, attrs in cases:
+        v = module.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 16, 16, 3)), train=False)
+        assert detect_architecture(v["params"]) == arch
+        rebuilt = model_for_params(v["params"],
+                                   scale_factor=module.scale_factor
+                                   if hasattr(module, "scale_factor") else 4)
+        for k, want in attrs.items():
+            assert getattr(rebuilt, k) == want, (arch, k)

@@ -152,3 +152,25 @@ def test_micro_batcher_coalesces_concurrent_requests(server):
         assert diff.max() <= 1
     assert batches_used < len(imgs), (
         f"no coalescing: {batches_used} batches for {len(imgs)} requests")
+
+
+def test_architecture_auto_from_checkpoint(server, tmp_path):
+    """--architecture auto must reconstruct the model (incl. width/depth)
+    from the checkpoint tensors and serve identically to the explicit
+    server sharing the same weights."""
+    import serve
+    from food101_sr_tpu.training import save_checkpoint
+
+    params = server.variables["params"]
+    extra = {k: v for k, v in server.variables.items() if k != "params"}
+    path = save_checkpoint({"params": params, "extra": extra},
+                           str(tmp_path / "ckpt"))
+
+    import jax.numpy as jnp
+
+    auto = serve.SRServer("auto", path, scale=4, tile=32, dtype=jnp.float32)
+    assert auto.arch == "SRCNN"
+    img = _img(20, 12, seed=50)
+    a = np.asarray(server.upscale(img), np.int16)
+    b = np.asarray(auto.upscale(img), np.int16)
+    assert np.abs(a - b).max() <= 1

@@ -29,6 +29,8 @@ import numpy as np
 # runnable as `python tools/export_sr_checkpoint.py` from the repo root
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from food101_sr_tpu.models import detect_architecture as detect_arch  # noqa: E402
+
 
 def _np(x) -> np.ndarray:
     return np.asarray(x, dtype=np.float32)
@@ -44,19 +46,6 @@ def _linear(kernel) -> np.ndarray:   # (in,out) -> (out,in)
 
 def _prelu(alpha) -> np.ndarray:
     return _np(alpha).reshape(1)     # torch PReLU(num_parameters=1)
-
-
-def detect_arch(params: dict) -> str:
-    if "block_0" in params:
-        return "Discriminator"
-    if "conv1" in params and "input_conv" not in params:
-        return "SRCNN"
-    if "se" in params.get("res_0", {}):
-        return "AttentionSR"
-    if "bn1" in params.get("res_0", {}):
-        return "RESNET"
-    raise ValueError("unrecognized checkpoint: params do not match any "
-                     "framework architecture (food101_sr_tpu/models)")
 
 
 def export_srcnn(params: dict, extra: dict) -> dict:
