@@ -33,8 +33,10 @@ class AttentionSR(nn.Module):
                           name=f"res_{i}")(r)
         r = Conv(self.num_channels, 3, dtype=self.dtype, name="mid_conv")(r)
         x = initial + r
-        assert self.scale_factor in (2, 4), "tail is built from x2 stages"
-        for i in range(self.scale_factor // 2):
+        assert self.scale_factor >= 2 and \
+            self.scale_factor & (self.scale_factor - 1) == 0, \
+            "tail is built from x2 stages: scale must be a power of two"
+        for i in range(self.scale_factor.bit_length() - 1):
             x = UpsampleBlock(out_channels=64, scale=2, dtype=self.dtype,
                               name=f"up_{i}")(x)
         return Conv(3, 9, dtype=self.dtype, subpixel_r=self.scale_factor,

@@ -36,8 +36,10 @@ class ResNetSR(nn.Module):
         r = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn_mid")(r)
         x = initial + r
-        assert self.scale_factor in (2, 4), "tail is built from x2 stages"
-        for i in range(self.scale_factor // 2):
+        assert self.scale_factor >= 2 and \
+            self.scale_factor & (self.scale_factor - 1) == 0, \
+            "tail is built from x2 stages: scale must be a power of two"
+        for i in range(self.scale_factor.bit_length() - 1):
             x = UpsampleBlock(out_channels=64, scale=2, dtype=self.dtype,
                               name=f"up_{i}")(x)
         return Conv(3, 9, dtype=self.dtype, subpixel_r=self.scale_factor,

@@ -236,3 +236,26 @@ def test_model_for_params_infers_nonregistry_variants():
                                    if hasattr(module, "scale_factor") else 4)
         for k, want in attrs.items():
             assert getattr(rebuilt, k) == want, (arch, k)
+
+
+def test_power_of_two_scales_beyond_reference():
+    """The reference hard-codes two x2 PixelShuffle stages (x4 only,
+    src/models.py:116-123); our tail generalizes to any power-of-two scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from food101_sr_tpu.models import AttentionSR, ResNetSR
+
+    for cls in (ResNetSR, AttentionSR):
+        for s in (2, 4, 8):
+            m = cls(scale_factor=s, num_channels=32, num_residuals=1)
+            v = m.init({"params": jax.random.PRNGKey(0)},
+                       jnp.zeros((1, 8, 8, 3)), train=False)
+            out = m.apply(v, jnp.zeros((1, 8, 8, 3)), train=False)
+            assert out.shape == (1, 8 * s, 8 * s, 3), (cls.__name__, s)
+        import pytest
+
+        with pytest.raises(AssertionError):
+            cls(scale_factor=3, num_channels=32, num_residuals=1).init(
+                {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 8, 8, 3)),
+                train=False)
