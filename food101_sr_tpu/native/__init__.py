@@ -123,6 +123,11 @@ def _register_jpeg(lib):
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_long,
     ]
+    lib.fastjpeg_encode_rgb8.restype = ctypes.c_long
+    lib.fastjpeg_encode_rgb8.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_long,
+    ]
 
 
 def _jpeg_lib():
@@ -164,6 +169,31 @@ def decode_jpeg_rgb8(data: bytes) -> np.ndarray:
     from PIL import Image
 
     return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+def encode_jpeg_rgb8(arr: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 HxWx3 -> JPEG bytes. C++ fast path, PIL fallback. For
+    photographic SR serving output a quality-90 JPEG is ~10x smaller than
+    a fast PNG and encodes faster."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected uint8 HxWx3, got {arr.dtype} {arr.shape}")
+    lib = _jpeg_lib()
+    if lib is not None:
+        h, w = arr.shape[:2]
+        arr = np.ascontiguousarray(arr)
+        cap = arr.nbytes + 65536  # JPEG can't exceed raw + headers in practice
+        out = ctypes.create_string_buffer(cap)
+        n = lib.fastjpeg_encode_rgb8(
+            arr.ctypes.data_as(ctypes.c_char_p), w, h, int(quality), out, cap)
+        if n > 0:
+            return out.raw[:n]
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=int(quality))
+    return buf.getvalue()
 
 
 def decode_jpeg_crop_rgb8(data: bytes, x0: int, y0: int, cw: int,

@@ -17,6 +17,7 @@
 #include <jpeglib.h>
 
 #include <csetjmp>
+#include <cstdlib>
 #include <cstring>
 
 namespace {
@@ -171,6 +172,50 @@ int fastjpeg_decode_crop_rgb8(const unsigned char* buf, long len, int x0,
   delete[] scratch;
   jpeg_destroy_decompress(&cinfo);
   return 0;
+}
+
+// Encode tightly-packed RGB8 to JPEG at the given quality (1..100).
+// Returns bytes written, or -1 on error / insufficient out_cap. For SR
+// serving responses a quality-90 JPEG is ~10x smaller than a fast-PNG of
+// the same photographic output and encodes faster.
+long fastjpeg_encode_rgb8(const unsigned char* rgb, int w, int h, int quality,
+                          unsigned char* out, long out_cap) {
+  if (!rgb || !out || w <= 0 || h <= 0) return -1;
+  jpeg_compress_struct cinfo;
+  ErrMgr err;
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = on_error;
+  err.pub.emit_message = on_message;
+  // Caller-provided destination: the library only mallocs (and updates
+  // `buf`) if the output outgrows out_cap — treated as failure below.
+  unsigned char* buf = out;
+  unsigned long sz = static_cast<unsigned long>(out_cap);
+  if (setjmp(err.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    return -1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &buf, &sz);
+  cinfo.image_width = static_cast<JDIMENSION>(w);
+  cinfo.image_height = static_cast<JDIMENSION>(h);
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality < 1 ? 1 : (quality > 100 ? 100 : quality),
+                   TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<JSAMPROW>(
+        rgb + static_cast<long>(cinfo.next_scanline) * w * 3);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  if (buf != out) {  // outgrew out_cap: library realloc'd its own buffer
+    free(buf);
+    return -1;
+  }
+  return static_cast<long>(sz);
 }
 
 }  // extern "C"

@@ -31,7 +31,7 @@ import numpy as np
 from PIL import Image
 
 from food101_sr_tpu.models import get_model
-from food101_sr_tpu.native import encode_png_rgb8
+from food101_sr_tpu.native import encode_jpeg_rgb8, encode_png_rgb8
 from food101_sr_tpu.parallel.spatial import RECEPTIVE_RADIUS, plan_windows
 from food101_sr_tpu.training import load_checkpoint
 
@@ -328,8 +328,28 @@ def make_handler(server: SRServer):
                 self._send(404, b"not found; POST an image to /sr", "text/plain")
 
         def do_POST(self):
-            if self.path != "/sr":
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path != "/sr":
                 self._send(404, b"POST to /sr", "text/plain")
+                return
+            # response format: ?format=jpeg[&quality=90] (or Accept:
+            # image/jpeg). JPEG responses of photographic SR output are
+            # ~10x smaller than fast-PNG and encode faster — the right
+            # default for bandwidth-bound clients; PNG stays the default
+            # for losslessness.
+            q = parse_qs(url.query)
+            fmt = q.get("format", [None])[0]
+            if fmt is None and "image/jpeg" in self.headers.get("Accept", ""):
+                fmt = "jpeg"
+            if fmt not in (None, "png", "jpeg", "jpg"):
+                self._send(400, b"format must be png or jpeg", "text/plain")
+                return
+            try:
+                quality = int(q.get("quality", ["90"])[0])
+            except ValueError:
+                self._send(400, b"quality must be an integer", "text/plain")
                 return
             length = int(self.headers.get("Content-Length", 0))
             if length == 0 or length > 64 << 20:
@@ -346,13 +366,18 @@ def make_handler(server: SRServer):
             t0 = time.perf_counter()
             sr = server.upscale(img)
             dt = (time.perf_counter() - t0) * 1e3
-            # C++ fast PNG encode (zlib level 1 by default): on a
-            # single-core TPU-VM host, PIL's encode of a large SR output
-            # costs more wall time than the jitted forward itself; the
-            # native path is ~2x faster and releases the GIL.
-            body = encode_png_rgb8(np.asarray(sr), server.png_level)
+            # C++ fast encode: on a single-core TPU-VM host, PIL's encode
+            # of a large SR output costs more wall time than the jitted
+            # forward itself; the native paths are faster and release the
+            # GIL (PNG: fixed SUB filter; JPEG: caller-chosen quality).
+            if fmt in ("jpeg", "jpg"):
+                body = encode_jpeg_rgb8(np.asarray(sr), quality)
+                ctype = "image/jpeg"
+            else:
+                body = encode_png_rgb8(np.asarray(sr), server.png_level)
+                ctype = "image/png"
             self.send_response(200)
-            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.send_header("X-Inference-Ms", f"{dt:.1f}")
             self.end_headers()

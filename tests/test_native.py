@@ -113,3 +113,26 @@ def test_jpeg_bad_input_falls_back_or_none():
     data = _photo_jpeg(32, 32, seed=3)
     # out-of-bounds region
     assert native.decode_jpeg_crop_rgb8(data, 20, 20, 32, 32) is None
+
+
+def test_jpeg_encode_roundtrip_and_fallback(monkeypatch):
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 255, (96, 128, 3)).astype(np.float32)
+    for _ in range(2):
+        x = (x + np.roll(x, 1, 0) + np.roll(x, 1, 1)) / 3
+    arr = np.clip(x, 0, 255).astype(np.uint8)
+
+    data = native.encode_jpeg_rgb8(arr, quality=95)
+    assert data[:2] == b"\xff\xd8"  # JPEG SOI
+    # PIL wraps the same libjpeg with the same defaults: the native encoder
+    # must produce the identical stream (content-independent correctness)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    assert data == buf.getvalue()
+    # smaller than the PNG of the same content
+    assert len(data) < len(native.encode_png_rgb8(arr, 1)) // 2
+
+    monkeypatch.setattr(native, "_jpeg_lib", lambda: None)
+    assert native.encode_jpeg_rgb8(arr, quality=95) == data  # PIL fallback
+    with pytest.raises(ValueError):
+        native.encode_jpeg_rgb8(np.zeros((4, 4), np.uint8))

@@ -174,3 +174,41 @@ def test_architecture_auto_from_checkpoint(server, tmp_path):
     a = np.asarray(server.upscale(img), np.int16)
     b = np.asarray(auto.upscale(img), np.int16)
     assert np.abs(a - b).max() <= 1
+
+
+def test_http_jpeg_response_format(server):
+    """?format=jpeg (and Accept: image/jpeg) return a JPEG body."""
+    import serve
+
+    httpd = serve.SRHTTPServer(("127.0.0.1", 0), serve.make_handler(server))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        buf = io.BytesIO()
+        _img(24, 16, seed=60).save(buf, format="PNG")
+        body = buf.getvalue()
+        for url, hdrs in (
+            (f"http://127.0.0.1:{port}/sr?format=jpeg&quality=85", {}),
+            (f"http://127.0.0.1:{port}/sr", {"Accept": "image/jpeg"}),
+        ):
+            req = urllib.request.Request(url, data=body, method="POST",
+                                         headers=hdrs)
+            with urllib.request.urlopen(req) as r:
+                assert r.headers["Content-Type"] == "image/jpeg"
+                out = Image.open(io.BytesIO(r.read()))
+                assert out.size == (96, 64) and out.format == "JPEG"
+        # default stays lossless PNG
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/sr",
+                                     data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"] == "image/png"
+        # bad format -> 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/sr?format=webp", data=body,
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
