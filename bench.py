@@ -302,7 +302,77 @@ def bench_gan_step(batch: int = 32, crop: int = 192) -> float:
     return ips
 
 
+def bench_input_pipeline(n_images: int = 8, batches: int = 24,
+                         batch_size: int = 16) -> tuple:
+    """Host input-pipeline throughput: JPEG-on-disk -> uint8 HR crop
+    batches through SRDataLoader (the stage feeding every train step).
+
+    Builds a small Food-101-layout tree of 512px photo-like JPEGs in /tmp,
+    then times the loader's native fused region-decode path against the
+    pure-PIL fallback (the reference's per-sample full decode,
+    reference src/dataset.py:28). Per *core* numbers: this host has one;
+    a real TPU-VM host scales linearly with its vCPUs (the loader's
+    thread pool + GIL-released native decode are embarrassingly parallel).
+    """
+    import os
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    from food101_sr_tpu.data import Food101Source, SRDataLoader
+
+    root = tempfile.mkdtemp(prefix="bench_input_")
+    base = os.path.join(root, "food-101")
+    os.makedirs(os.path.join(base, "meta"))
+    os.makedirs(os.path.join(base, "images", "pizza"))
+    rng = np.random.default_rng(0)
+    rel = []
+    for k in range(n_images):
+        x = rng.integers(0, 255, (512, 512, 3)).astype(np.float32)
+        for _ in range(2):
+            x = (x + np.roll(x, 1, 0) + np.roll(x, 1, 1)) / 3
+        Image.fromarray(np.clip(x, 0, 255).astype(np.uint8)).save(
+            os.path.join(base, "images", "pizza", f"im{k}.jpg"), quality=90)
+        rel.append(f"pizza/im{k}")
+    with open(os.path.join(base, "meta", "train.txt"), "w") as f:
+        f.write("\n".join(rel))
+    src = Food101Source(root=root, split="train")
+    idx = np.arange(batches * batch_size) % n_images
+
+    def run(disable_native: bool) -> float:
+        if disable_native:
+            from food101_sr_tpu import native
+            saved, native._libs = dict(native._libs), {"fast_jpeg": None}
+        try:
+            loader = SRDataLoader(src, indices=idx, crop_size=200,
+                                  batch_size=batch_size, train=True, seed=0)
+            n = 0
+            t0 = time.perf_counter()
+            for b in loader:
+                n += b.shape[0]
+            return n / (time.perf_counter() - t0)
+        finally:
+            if disable_native:
+                native._libs = saved
+
+    run(False)  # warm page cache + thread pool
+    ours, pil = run(False), run(True)
+    log(f"input pipeline: native {ours:.0f} img/s/core, PIL-fallback "
+        f"{pil:.0f} img/s/core ({ours / pil:.2f}x)")
+    return ours, pil
+
+
 def main():
+    if "--input" in sys.argv:
+        ours, pil = bench_input_pipeline()
+        print(json.dumps({
+            "metric": "input_pipeline_host_throughput",
+            "value": round(ours, 1),
+            "unit": "images/sec/core",
+            "vs_baseline": round(ours / pil, 2),
+        }))
+        return
     if "--gan" in sys.argv:
         ours = bench_gan_step()
         print(json.dumps({

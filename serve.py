@@ -324,6 +324,20 @@ def make_handler(server: SRServer):
                         "scale": server.scale, "served": server.n_served,
                         "device": jax.devices()[0].platform}
                 self._send(200, json.dumps(info).encode(), "application/json")
+            elif self.path == "/statz":
+                b = server._batcher
+                info = {
+                    "served": server.n_served,
+                    "device_batches": b.n_batches,
+                    "batched_items": b.n_items,
+                    # <1.0 means the micro-batcher is coalescing; at 1/max
+                    # batch the chip runs full batches every dispatch
+                    "batches_per_item": round(b.n_batches / b.n_items, 4)
+                                        if b.n_items else None,
+                    "max_batch": b.max_batch,
+                    "queue_depth": b._q.qsize(),
+                }
+                self._send(200, json.dumps(info).encode(), "application/json")
             else:
                 self._send(404, b"not found; POST an image to /sr", "text/plain")
 

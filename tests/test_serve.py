@@ -212,3 +212,23 @@ def test_http_jpeg_response_format(server):
         assert ei.value.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_statz_endpoint(server):
+    """/statz reports micro-batcher coalescing counters."""
+    import json as _json
+    import serve
+
+    httpd = serve.SRHTTPServer(("127.0.0.1", 0), serve.make_handler(server))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        server.upscale(_img(20, 12, seed=70))
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/statz") as r:
+            stats = _json.loads(r.read())
+        assert stats["device_batches"] >= 1
+        assert stats["batched_items"] >= stats["device_batches"]
+        assert stats["max_batch"] == server._batcher.max_batch
+    finally:
+        httpd.shutdown()
