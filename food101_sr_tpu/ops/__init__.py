@@ -8,8 +8,10 @@ from .resize import (
 )
 from .pixel_shuffle import pixel_shuffle
 from .gaussian import gaussian_kernel_2d, depthwise_blur
+from .tta import self_ensemble
 
 __all__ = [
+    "self_ensemble",
     "degrade_bicubic",
     "resize2d",
     "resize_bicubic_pil",

@@ -259,3 +259,34 @@ def test_power_of_two_scales_beyond_reference():
             cls(scale_factor=3, num_channels=32, num_residuals=1).init(
                 {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 8, 8, 3)),
                 train=False)
+
+
+def test_self_ensemble_properties():
+    """x8 geometric TTA: exact for a D4-equivariant forward, equivariant
+    under input flips for any forward, correct output shape."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from food101_sr_tpu.models import SRCNN
+    from food101_sr_tpu.ops import self_ensemble
+
+    # 1) equivariant forward (nearest-neighbor x2): ensemble == forward
+    def nn_up(x):
+        return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 6, 9, 3)),
+                    jnp.float32)
+    np.testing.assert_allclose(self_ensemble(nn_up, x), nn_up(x), atol=1e-7)
+
+    # 2) real (non-equivariant) model: group-averaging makes the result
+    # equivariant — se(flip(x)) == flip(se(x)) — and shapes are right
+    model = SRCNN(scale_factor=2, hidden_dim=8)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    fwd = jax.jit(lambda b: model.apply(v, b, train=False))
+    se = jax.jit(lambda b: self_ensemble(fwd, b))
+    out = se(x)
+    assert out.shape == (2, 12, 18, 3)
+    assert not np.allclose(out, fwd(x), atol=1e-4)  # it actually ensembles
+    np.testing.assert_allclose(se(jnp.flip(x, 2)), jnp.flip(out, 2),
+                               atol=1e-5)

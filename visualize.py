@@ -30,6 +30,7 @@ from PIL import Image
 
 from food101_sr_tpu.data import Food101Source, SyntheticSource
 from food101_sr_tpu.models import get_model
+from food101_sr_tpu.ops import self_ensemble
 from food101_sr_tpu.training import load_checkpoint
 
 SCALE_FACTOR = 4
@@ -82,9 +83,15 @@ class ModelRunner:
         self._fwd = jax.jit(
             lambda v, x: jnp.clip(self.model.apply(v, x, train=False), 0.0, 1.0)
         )
+        # x8 geometric self-ensemble (ops/tta.py): two 4N-batched forwards
+        # + averaging, all inside one jit
+        self._fwd_tta = jax.jit(
+            lambda v, x: jnp.clip(self_ensemble(
+                lambda b: self.model.apply(v, b, train=False), x), 0.0, 1.0)
+        )
         self._warm_shapes = set()
 
-    def predict(self, lr_np: np.ndarray, bucket: bool):
+    def predict(self, lr_np: np.ndarray, bucket: bool, tta: bool = False):
         """lr_np: [H,W,3] float32 in [0,1]. Returns (sr uint8 HWC, seconds)."""
         h, w = lr_np.shape[:2]
         if bucket:
@@ -93,12 +100,13 @@ class ModelRunner:
             x = np.pad(lr_np, ((0, ph), (0, pw), (0, 0)), mode="edge")
         else:
             x = lr_np
+        fwd = self._fwd_tta if tta else self._fwd
         xb = jnp.asarray(x[None])
-        if xb.shape not in self._warm_shapes:  # exclude compile from timing
-            float(_SUM(self._fwd(self.variables, xb)))
-            self._warm_shapes.add(xb.shape)
+        if (xb.shape, tta) not in self._warm_shapes:  # exclude compile
+            float(_SUM(fwd(self.variables, xb)))
+            self._warm_shapes.add((xb.shape, tta))
         t0 = time.perf_counter()
-        out = self._fwd(self.variables, xb)
+        out = fwd(self.variables, xb)
         # scalar fetch genuinely waits for the device; block_until_ready can
         # ack early through remote-TPU tunnels (see bench.py)
         float(_SUM(out))
@@ -109,7 +117,7 @@ class ModelRunner:
 
 def run_comparison(dataset="food101", data_root="./data",
                    num_examples=NUM_EXAMPLES, out_dir=OUTPUT_DIR,
-                   bucket=True, seed=0, weights=None):
+                   bucket=True, seed=0, weights=None, tta=False):
     if dataset == "synthetic":
         source = SyntheticSource(n=max(num_examples, 16), seed=seed)
     else:
@@ -148,7 +156,7 @@ def run_comparison(dataset="food101", data_root="./data",
 
         lr_np = np.asarray(lr_img, dtype=np.float32) / 255.0
         for runner in runners:
-            sr, dt = runner.predict(lr_np, bucket)
+            sr, dt = runner.predict(lr_np, bucket, tta=tta)
             inference_times[runner.name].append(dt)
             Image.fromarray(sr).save(
                 os.path.join(save_path, f"{runner.name.lower()}.png"))
@@ -174,6 +182,9 @@ if __name__ == "__main__":
     p.add_argument("--no_bucket", action="store_true",
                    help="disable shape bucketing (compile per image size)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--self_ensemble", action="store_true",
+                   help="x8 geometric TTA (dihedral transforms averaged; "
+                        "~0.1-0.2 dB PSNR for 8x the forward FLOPs)")
     a = p.parse_args()
     run_comparison(a.dataset, a.data_root, a.num_examples, a.out_dir,
-                   bucket=not a.no_bucket, seed=a.seed)
+                   bucket=not a.no_bucket, seed=a.seed, tta=a.self_ensemble)
