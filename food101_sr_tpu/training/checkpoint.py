@@ -87,12 +87,15 @@ def load_train_checkpoint(path: str, state: Any, scheduler, stopper,
 
 
 def _state_tree(state) -> dict:
-    return {
+    tree = {
         "step": state.step,
         "params": state.params,
         "extra": state.extra,
         "opt_state": state.opt_state,
     }
+    if getattr(state, "ema_params", None) is not None:  # --ema runs only
+        tree["ema_params"] = state.ema_params
+    return tree
 
 
 def warm_start_params(init_params: Any, loaded_params: Any) -> Any:

@@ -80,6 +80,8 @@ DEFAULTS: dict[str, Any] = {
     "resume": "",               # path to a *_last full-state checkpoint
     "profile_steps": 0,         # >0: jax.profiler trace of that many steps
     "profile_dir": "runs/profile",
+    "ema": 0.0,                 # >0: EMA decay for generator params; EMA
+                                # weights are validated and checkpointed
 }
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
@@ -164,15 +166,18 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
             variables["params"], loaded.get("params", loaded)
         )
 
+    ema_decay = float(cfg["ema"]) or None
     g_tx = make_adam(float(cfg["lr"]), clip_norm=1.0 if is_gan else None)
-    g_state_raw = SRTrainState.create(dict(variables), g_tx)
+    g_state_raw = SRTrainState.create(dict(variables), g_tx,
+                                      ema=ema_decay is not None)
 
     first, last = FIRST_LAST[cfg["architecture"]]
     loss_name = "mae" if is_gan else cfg["loss_function"]
     criterion = get_loss_function(loss_name, weights_dir=cfg["weights_dir"])
 
     train_step = jax.jit(
-        make_train_step(model, criterion, scale, first, last), donate_argnums=0
+        make_train_step(model, criterion, scale, first, last,
+                        ema_decay=ema_decay), donate_argnums=0
     )
     eval_step = jax.jit(make_eval_step(model, criterion, scale))
 
@@ -189,7 +194,8 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
         d_step = jax.jit(make_gan_d_step(model, d_model, scale),
                          donate_argnums=1)
         g_gan_step = jax.jit(
-            make_gan_g_step(model, d_model, percep, scale, first, last),
+            make_gan_g_step(model, d_model, percep, scale, first, last,
+                            ema_decay=ema_decay),
             donate_argnums=(0,),
         )
 
@@ -260,7 +266,11 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
         # --- validation ----------------------------------------------------
         psnrs, losses = [], []
         for hr_u8 in val_loader:
-            out = eval_step(g_state.params, g_state.extra, hr_u8)
+            # with --ema, validation scores (and hence plateau/early-stop/
+            # best-checkpoint decisions) use the EMA weights
+            eval_params = (g_state.ema_params if ema_decay is not None
+                           else g_state.params)
+            out = eval_step(eval_params, g_state.extra, hr_u8)
             psnrs.append(float(out["psnr"]))
             losses.append(float(out["val_loss"]))
         avg_psnr, avg_val_loss = _mean(psnrs), _mean(losses)
@@ -273,7 +283,9 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
                     "val_loss": avg_val_loss, "lr": new_lr})
 
         if stopper.update(avg_psnr):
-            save_checkpoint({"params": g_state.params, "extra": g_state.extra},
+            best_params = (g_state.ema_params if ema_decay is not None
+                           else g_state.params)
+            save_checkpoint({"params": best_params, "extra": g_state.extra},
                             ckpt_path)
             logger.save(ckpt_path)
         # rolling full-state checkpoint for preemption resume (--resume)

@@ -3,6 +3,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
@@ -21,6 +22,9 @@ class SRTrainState(struct.PyTreeNode):
     extra: Any  # dict of extra variable collections
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # Optional EMA of params (beyond-parity: evaluated/checkpointed instead
+    # of the raw params when training runs with --ema). None = disabled.
+    ema_params: Any = None
 
     @property
     def learning_rate(self):
@@ -30,7 +34,8 @@ class SRTrainState(struct.PyTreeNode):
         return {"params": self.params, **self.extra}
 
     @classmethod
-    def create(cls, variables: dict, tx: optax.GradientTransformation):
+    def create(cls, variables: dict, tx: optax.GradientTransformation,
+               ema: bool = False):
         params = variables["params"]
         extra = {k: v for k, v in variables.items() if k != "params"}
         return cls(
@@ -39,16 +44,25 @@ class SRTrainState(struct.PyTreeNode):
             extra=extra,
             opt_state=tx.init(params),
             tx=tx,
+            ema_params=jax.tree_util.tree_map(jnp.array, params) if ema
+            else None,
         )
 
-    def apply_updates(self, grads, new_extra=None):
+    def apply_updates(self, grads, new_extra=None, ema_decay=None):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
+        ema = self.ema_params
+        if ema is not None and ema_decay is not None:
+            d = jnp.float32(ema_decay)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: (d * e + (1.0 - d) * p).astype(e.dtype),
+                ema, new_params)
         return self.replace(
             step=self.step + 1,
             params=new_params,
             extra=self.extra if new_extra is None else new_extra,
             opt_state=new_opt,
+            ema_params=ema,
         )
 
     def set_learning_rate(self, lr: float):

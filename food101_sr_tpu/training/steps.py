@@ -59,9 +59,10 @@ def _finite_guard(loss, gnorm):
 
 
 def make_train_step(model, loss_fn: Callable, scale: int,
-                    first_path: str, last_path: str):
+                    first_path: str, last_path: str,
+                    ema_decay: float | None = None):
     """Supervised (non-GAN) step: loss + grads + Adam update + in-graph
-    dynamics diagnostics + non-finite step guard."""
+    dynamics diagnostics + non-finite step guard (+ optional params EMA)."""
 
     def train_step(state: SRTrainState, hr_u8: jnp.ndarray):
         lr_img, hr = prepare_batch(hr_u8, scale)
@@ -83,8 +84,9 @@ def make_train_step(model, loss_fn: Callable, scale: int,
             "dynamics/update_ratio": update_ratio(state.params, grads, lr_val),
             "nonfinite_steps": 1.0 - ok.astype(jnp.float32),
         }
-        new_state = select_state(ok, state.apply_updates(grads, new_extra),
-                                 state)
+        new_state = select_state(
+            ok, state.apply_updates(grads, new_extra, ema_decay=ema_decay),
+            state)
         return new_state, metrics
 
     return train_step
@@ -171,7 +173,8 @@ def make_gan_d_step(g_model, d_model, scale: int, noise_sigma: float = 0.2):
 def make_gan_g_step(g_model, d_model, perceptual_fn, scale: int,
                     first_path: str, last_path: str,
                     w_pixel: float = 1e-2, w_percep: float = 1.0,
-                    w_adv: float = 1e-5, w_tv: float = 2e-5):
+                    w_adv: float = 1e-5, w_tv: float = 2e-5,
+                    ema_decay: float | None = None):
     """Generator step: composite pixel+perceptual+adversarial+TV loss with
     the reference's exact weights (reference train.py:104-114). The
     discriminator's BN/spectral state is threaded through (torch mutates D
@@ -207,7 +210,9 @@ def make_gan_g_step(g_model, d_model, perceptual_fn, scale: int,
             "dynamics/update_ratio": update_ratio(g_state.params, grads, lr_val),
             "nonfinite_steps": 1.0 - ok.astype(jnp.float32),
         }
-        new_g = select_state(ok, g_state.apply_updates(grads, g_extra), g_state)
+        new_g = select_state(
+            ok, g_state.apply_updates(grads, g_extra, ema_decay=ema_decay),
+            g_state)
         new_d = select_state(ok, d_state.replace(extra=d_extra), d_state)
         return new_g, new_d, metrics
 

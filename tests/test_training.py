@@ -313,3 +313,47 @@ def test_gan_steps_guard_nonfinite():
     assert float(dm["nonfinite_steps_D"]) == 0.0
     g_state, d_state, gm = g_step(g_state, d_state, hr)
     assert float(gm["nonfinite_steps"]) == 0.0
+
+
+def test_ema_update_closed_form():
+    """state.apply_updates(ema_decay=d): ema_{k} = d*ema_{k-1} + (1-d)*p_k."""
+    model = SRCNN(scale_factor=2)
+    state = _make_state(model, (1, 16, 16, 3), lr=1e-2)
+    state = state.replace(ema_params=jax.tree_util.tree_map(
+        jnp.array, state.params))
+    step = jax.jit(make_train_step(model, mse_loss, 2, "conv1", "conv3",
+                                   ema_decay=0.9))
+    hr = _batch(2, 32)
+    expect = jax.tree_util.tree_map(np.asarray, state.ema_params)
+    for _ in range(3):
+        state, _ = step(state, hr)
+        expect = jax.tree_util.tree_map(
+            lambda e, p: 0.9 * e + 0.1 * np.asarray(p), expect, state.params)
+    for e, g in zip(jax.tree_util.tree_leaves(expect),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_allclose(np.asarray(g), e, rtol=2e-6, atol=1e-7)
+
+
+def test_ema_training_end_to_end(tmp_path):
+    """--ema trains, checkpoints EMA weights as best, and resumes."""
+    from food101_sr_tpu.training import train
+
+    cfg = dict(architecture="SRCNN", batch_size=8, lr=1e-3, epochs=2,
+               loss_function="mse", dataset="synthetic", crop_size=32,
+               scale_factor=4, subset=1.0, patience=10, ema=0.98,
+               save_name="ema_t", weights_dir=str(tmp_path / "w"),
+               run_name="ema_t", seed=0, synthetic_size=96)
+    final = train(cfg)
+    assert np.isfinite(final["psnr"])
+    # the saved best checkpoint holds the EMA weights (not the raw params):
+    # reloading it and comparing against a fresh run's raw params is
+    # indirect; instead assert the rolling checkpoint carries ema_params
+    from food101_sr_tpu.training import load_checkpoint
+
+    tree = load_checkpoint(str(tmp_path / "w" / "ema_t_last"))
+    assert "ema_params" in tree["g"]
+    # resume continues without structure errors
+    cfg2 = dict(cfg, epochs=3, resume=str(tmp_path / "w" / "ema_t_last"),
+                run_name="ema_t2")
+    final2 = train(cfg2)
+    assert np.isfinite(final2["psnr"])

@@ -41,6 +41,9 @@ def parse_args():
                    help="trace this many train steps (first epoch) with "
                         "jax.profiler into --profile_dir")
     p.add_argument("--profile_dir", type=str, default=DEFAULTS["profile_dir"])
+    p.add_argument("--ema", type=float, default=DEFAULTS["ema"],
+                   help="EMA decay for generator params (e.g. 0.999); EMA "
+                        "weights are validated and checkpointed. 0 = off")
     p.add_argument("--use_wandb", type=lambda s: s.lower() in ("1", "true"),
                    default=DEFAULTS["use_wandb"], nargs="?", const=True,
                    help="force W&B on/off (default: auto — on iff wandb is "
