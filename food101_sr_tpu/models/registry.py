@@ -68,7 +68,14 @@ def model_for_params(params, scale_factor: int = 4, dtype: Any = None,
     """Construct the module matching a loaded checkpoint, inferring
     width/depth from tensor shapes — so non-registry variants (e.g. the
     reference analysis tools' 64-channel AttentionSR,
-    reference src/analyze_models.py:20) load without flags."""
+    reference src/analyze_models.py:20) load without flags.
+
+    For ResNetSR/AttentionSR the checkpoint's up_* stages determine the
+    scale (2^n_stages) and OVERRIDE ``scale_factor`` — a mismatch would
+    otherwise silently serve the wrong scale (flax ignores unused params)
+    or crash on a missing stage. SRCNN's params are scale-independent
+    (bicubic pre-upsample), so ``scale_factor`` is taken as given there.
+    """
     arch = detect_architecture(params)
     if arch == "SRCNN":
         return SRCNN(scale_factor=scale_factor,
@@ -78,8 +85,9 @@ def model_for_params(params, scale_factor: int = 4, dtype: Any = None,
         return Discriminator(nf=params["block_0"]["sn"]["kernel"].shape[-1],
                              dtype=dtype)
     cls = AttentionSR if arch == "AttentionSR" else ResNetSR
+    n_up = sum(1 for k in params if k.startswith("up_"))
     return cls(
-        scale_factor=scale_factor,
+        scale_factor=1 << n_up,
         num_channels=params["input_conv"]["conv"]["kernel"].shape[-1],
         num_residuals=1 + max(int(k.split("_")[1]) for k in params
                               if k.startswith("res_")),

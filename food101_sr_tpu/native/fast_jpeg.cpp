@@ -192,6 +192,10 @@ long fastjpeg_encode_rgb8(const unsigned char* rgb, int w, int h, int quality,
   unsigned long sz = static_cast<unsigned long>(out_cap);
   if (setjmp(err.jump)) {
     jpeg_destroy_compress(&cinfo);
+    // best effort: if the library had already swapped in its own realloc'd
+    // buffer (output outgrew out_cap before the error), release it —
+    // jpeg_destroy does not own the mem-dest buffer
+    if (buf != out) free(buf);
     return -1;
   }
   jpeg_create_compress(&cinfo);

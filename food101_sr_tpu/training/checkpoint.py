@@ -78,7 +78,20 @@ def load_train_checkpoint(path: str, state: Any, scheduler, stopper,
     }
     if d_state is not None:
         target["d"] = _state_tree(d_state)
-    tree = load_checkpoint(path, target)
+    try:
+        tree = load_checkpoint(path, target)
+    except Exception:
+        # optional-state drift: reshape the typed target to the keys the
+        # checkpoint actually holds, restore, then reconcile back to the
+        # fresh state's configuration (see _OPTIONAL_STATE_KEYS)
+        target["g"] = _drift_target(target["g"], state, _ckpt_keys(path, "g"))
+        if d_state is not None:
+            target["d"] = _drift_target(target["d"], d_state,
+                                        _ckpt_keys(path, "d"))
+        tree = load_checkpoint(path, target)
+        tree["g"] = _reconcile_optional(tree["g"], state)
+        if d_state is not None:
+            tree["d"] = _reconcile_optional(tree["d"], d_state)
     scheduler.load_state_dict(tree["host"]["scheduler"])
     stopper.load_state_dict(tree["host"]["stopper"])
     new_state = state.replace(**tree["g"])
@@ -95,7 +108,53 @@ def _state_tree(state) -> dict:
     }
     if getattr(state, "ema_params", None) is not None:  # --ema runs only
         tree["ema_params"] = state.ema_params
+    if getattr(state, "skipped", None) is not None:
+        tree["skipped"] = state.skipped
     return tree
+
+
+# Optional per-state keys that may drift between checkpoint and fresh
+# state (resuming with --ema toggled, or a checkpoint written before the
+# skip counter existed), with restore templates.
+_OPTIONAL_STATE_KEYS = {
+    "ema_params": lambda st: st.params,
+    "skipped": lambda st: np.zeros((), np.int32),
+}
+
+
+def _ckpt_keys(path: str, part: str):
+    """Top-level key set of one state subtree in a saved checkpoint."""
+    md = ocp.StandardCheckpointer().metadata(os.path.abspath(path))
+    tree = md.item_metadata if hasattr(md, "item_metadata") else md
+    return set(tree[part].keys())
+
+
+def _drift_target(part_target: dict, st, keys_on_disk) -> dict:
+    """Typed restore target reshaped to the checkpoint's actual keys."""
+    out = {k: v for k, v in part_target.items()
+           if k not in _OPTIONAL_STATE_KEYS or k in keys_on_disk}
+    for k, tmpl in _OPTIONAL_STATE_KEYS.items():
+        if k in keys_on_disk and k not in out:
+            out[k] = tmpl(st)
+    return out
+
+
+def _reconcile_optional(part_tree: dict, st) -> dict:
+    """After a drift restore: match the fresh state's optional-key config —
+    a missing EMA is seeded from the restored params, a missing counter
+    restarts at 0, and keys the state doesn't carry are dropped."""
+    for k, _ in _OPTIONAL_STATE_KEYS.items():
+        if getattr(st, k, None) is None:
+            part_tree.pop(k, None)
+    if getattr(st, "ema_params", None) is not None \
+            and "ema_params" not in part_tree:
+        # materialize copies: aliasing the params buffers would make the
+        # jitted step's donation see the same buffer twice
+        part_tree["ema_params"] = jax.tree_util.tree_map(
+            np.array, part_tree["params"])
+    if getattr(st, "skipped", None) is not None and "skipped" not in part_tree:
+        part_tree["skipped"] = np.zeros((), np.int32)
+    return part_tree
 
 
 def warm_start_params(init_params: Any, loaded_params: Any) -> Any:

@@ -279,8 +279,13 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
         g_state = g_state.set_learning_rate(new_lr)
         print(f"   -> Val PSNR: {avg_psnr:.2f} | Val Loss: {avg_val_loss:.4f} "
               f"| LR: {new_lr}")
+        n_skipped = int(jax.device_get(g_state.skipped))  # exact cumulative
+        if n_skipped:
+            print(f"WARNING: {n_skipped} update(s) skipped so far by the "
+                  f"non-finite guard")
         logger.log({"epoch": epoch, "val_psnr": avg_psnr,
-                    "val_loss": avg_val_loss, "lr": new_lr})
+                    "val_loss": avg_val_loss, "lr": new_lr,
+                    "nonfinite_total": n_skipped})
 
         if stopper.update(avg_psnr):
             best_params = (g_state.ema_params if ema_decay is not None

@@ -25,6 +25,10 @@ class SRTrainState(struct.PyTreeNode):
     # Optional EMA of params (beyond-parity: evaluated/checkpointed instead
     # of the raw params when training runs with --ema). None = disabled.
     ema_params: Any = None
+    # Cumulative count of updates skipped by the non-finite guard
+    # (steps.select_state) — kept in-state so it's exact without any
+    # per-step host sync; surfaced as the nonfinite_total metric.
+    skipped: Any = None
 
     @property
     def learning_rate(self):
@@ -46,6 +50,7 @@ class SRTrainState(struct.PyTreeNode):
             tx=tx,
             ema_params=jax.tree_util.tree_map(jnp.array, params) if ema
             else None,
+            skipped=jnp.zeros((), jnp.int32),
         )
 
     def apply_updates(self, grads, new_extra=None, ema_decay=None):

@@ -37,7 +37,7 @@ def _apply_train(model, params, extra, x):
     return out, new_extra
 
 
-def select_state(ok, new_state, old_state):
+def select_state(ok, new_state, old_state, count: bool = True):
     """In-graph failure guard: keep ``new_state`` only when ``ok``.
 
     The reference has no failure handling at all (SURVEY §5: no try/except
@@ -45,10 +45,16 @@ def select_state(ok, new_state, old_state):
     overflow, NaN grads from a degenerate crop) would otherwise poison
     Adam's moments and every later step. An XLA select keeps the whole
     state — params, optimizer moments, extra collections, step counter —
-    untouched for skipped steps, with no host sync in the hot loop.
+    untouched for skipped steps, with no host sync in the hot loop. The
+    state's cumulative ``skipped`` counter increments on every skip, so
+    the true count is exact regardless of the host's logging cadence.
     """
-    return jax.tree_util.tree_map(
+    sel = jax.tree_util.tree_map(
         lambda n, o: jnp.where(ok, n, o), new_state, old_state)
+    if count and getattr(old_state, "skipped", None) is not None:
+        sel = sel.replace(
+            skipped=old_state.skipped + (1 - ok.astype(jnp.int32)))
+    return sel
 
 
 def _finite_guard(loss, gnorm):
@@ -87,6 +93,7 @@ def make_train_step(model, loss_fn: Callable, scale: int,
         new_state = select_state(
             ok, state.apply_updates(grads, new_extra, ema_decay=ema_decay),
             state)
+        metrics["nonfinite_total"] = new_state.skipped
         return new_state, metrics
 
     return train_step
@@ -164,6 +171,7 @@ def make_gan_d_step(g_model, d_model, scale: int, noise_sigma: float = 0.2):
             "gan_dynamics/prob_real": prob_real,
             "gan_dynamics/prob_fake": prob_fake,
             "nonfinite_steps_D": 1.0 - ok.astype(jnp.float32),
+            "nonfinite_total_D": new_d.skipped,
         }
         return new_d, metrics
 
@@ -213,7 +221,11 @@ def make_gan_g_step(g_model, d_model, perceptual_fn, scale: int,
         new_g = select_state(
             ok, g_state.apply_updates(grads, g_extra, ema_decay=ema_decay),
             g_state)
-        new_d = select_state(ok, d_state.replace(extra=d_extra), d_state)
+        metrics["nonfinite_total"] = new_g.skipped
+        # D only threads its extra collections here; a G-side skip should
+        # not tick D's own skip counter
+        new_d = select_state(ok, d_state.replace(extra=d_extra), d_state,
+                             count=False)
         return new_g, new_d, metrics
 
     return g_step

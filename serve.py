@@ -174,11 +174,21 @@ class SRServer:
                                                model_for_params)
 
             loaded = load_checkpoint(checkpoint)
-            architecture = detect_architecture(loaded["params"])
-            self.model = model_for_params(loaded["params"],
-                                          scale_factor=scale, dtype=dtype)
-            self.variables = {"params": loaded["params"],
-                              **loaded.get("extra", {})}
+            if "g" in loaded and "params" not in loaded:
+                # rolling full-state *_last checkpoint: serve its (EMA if
+                # present, else raw) generator weights
+                g = loaded["g"]
+                params = (g["ema_params"] if g.get("ema_params") is not None
+                          else g["params"])
+                extra = g.get("extra", {})
+            else:
+                params, extra = loaded["params"], loaded.get("extra", {})
+            architecture = detect_architecture(params)
+            self.model = model_for_params(params, scale_factor=scale,
+                                          dtype=dtype)
+            # the checkpoint's upsample stages are authoritative for scale
+            self.scale = scale = getattr(self.model, "scale_factor", scale)
+            self.variables = {"params": params, **extra}
         else:
             self.model = get_model(architecture, scale_factor=scale,
                                    dtype=dtype)
@@ -312,9 +322,16 @@ def make_handler(server: SRServer):
             pass
 
         def _send(self, code: int, body: bytes, ctype: str):
+            if code >= 400:
+                # error paths may bail before reading the request body;
+                # under HTTP/1.1 keep-alive the unread bytes would desync
+                # the next request on this connection — close it instead
+                self.close_connection = True
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
 

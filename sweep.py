@@ -80,7 +80,7 @@ def run_asha(sweep_yaml: str, trials: int, seed: int = 0,
                 results.append((t, cfg, final))
                 last[t] = (cfg, final)
                 fh.write(json.dumps({"trial": t, "rung": rung,
-                                     "epochs": epochs, "config": cfg,
+                                     "epochs": epochs, "config": c,
                                      "test_metrics": final}) + "\n")
                 fh.flush()
             if len(alive) == 1:

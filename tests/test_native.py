@@ -124,15 +124,22 @@ def test_jpeg_encode_roundtrip_and_fallback(monkeypatch):
 
     data = native.encode_jpeg_rgb8(arr, quality=95)
     assert data[:2] == b"\xff\xd8"  # JPEG SOI
-    # PIL wraps the same libjpeg with the same defaults: the native encoder
-    # must produce the identical stream (content-independent correctness)
+    # Compare against PIL's encode at the same quality via DECODED pixels:
+    # when both link the same libjpeg the streams are byte-identical, but
+    # a different system libjpeg than PIL's bundled one emits a
+    # different-but-valid stream, so pixel closeness is the real contract.
     buf = io.BytesIO()
     Image.fromarray(arr).save(buf, format="JPEG", quality=95)
-    assert data == buf.getvalue()
+    pil_px = np.asarray(Image.open(buf).convert("RGB"), np.int16)
+    nat_px = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.int16)
+    assert np.abs(nat_px - pil_px).mean() < 1.0
+    assert 0.7 < len(data) / buf.getbuffer().nbytes < 1.4
     # smaller than the PNG of the same content
     assert len(data) < len(native.encode_png_rgb8(arr, 1)) // 2
 
     monkeypatch.setattr(native, "_jpeg_lib", lambda: None)
-    assert native.encode_jpeg_rgb8(arr, quality=95) == data  # PIL fallback
+    fb = native.encode_jpeg_rgb8(arr, quality=95)  # PIL fallback
+    fb_px = np.asarray(Image.open(io.BytesIO(fb)).convert("RGB"), np.int16)
+    assert np.abs(fb_px - pil_px).mean() < 1.0
     with pytest.raises(ValueError):
         native.encode_jpeg_rgb8(np.zeros((4, 4), np.uint8))

@@ -357,3 +357,39 @@ def test_ema_training_end_to_end(tmp_path):
                 run_name="ema_t2")
     final2 = train(cfg2)
     assert np.isfinite(final2["psnr"])
+
+
+def test_nonfinite_counter_is_cumulative():
+    model = SRCNN(scale_factor=2)
+    state = _make_state(model, (1, 16, 16, 3), lr=1e-3)
+
+    def loss(sr, hr):
+        return jnp.where(jnp.all(hr == 0.0), jnp.nan, mse_loss(sr, hr))
+
+    step = jax.jit(make_train_step(model, loss, 2, "conv1", "conv3"))
+    good, bad = _batch(2, 32), jnp.zeros((2, 32, 32, 3), jnp.uint8)
+    for b in (good, bad, bad, good, bad):
+        state, m = step(state, b)
+    assert int(m["nonfinite_total"]) == 3 == int(state.skipped)
+
+
+def test_resume_tolerates_ema_toggle(tmp_path):
+    """--resume works across an --ema toggle: missing EMA state is seeded
+    from the checkpoint's params instead of dying on an orbax structure
+    mismatch."""
+    from food101_sr_tpu.training import train
+
+    base = dict(architecture="SRCNN", batch_size=8, lr=1e-3, epochs=1,
+                loss_function="mse", dataset="synthetic", crop_size=32,
+                scale_factor=4, subset=1.0, patience=10,
+                save_name="tog", weights_dir=str(tmp_path / "w"),
+                run_name="tog", seed=0, synthetic_size=96)
+    train(base)  # no ema
+    cfg2 = dict(base, epochs=2, ema=0.99,
+                resume=str(tmp_path / "w" / "tog_last"), run_name="tog2")
+    final = train(cfg2)
+    assert np.isfinite(final["psnr"])
+    # and back: ema checkpoint resumed without --ema
+    cfg3 = dict(base, epochs=3, resume=str(tmp_path / "w" / "tog_last"),
+                run_name="tog3")
+    assert np.isfinite(train(cfg3)["psnr"])
