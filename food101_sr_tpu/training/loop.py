@@ -10,7 +10,6 @@ floats on log boundaries, not per step.
 from __future__ import annotations
 
 import os
-import warnings
 from typing import Any, Mapping
 
 import jax
@@ -31,7 +30,7 @@ from ..data import (
     subset_indices,
     train_val_split,
 )
-from ..losses import get_loss_function, mae_loss
+from ..losses import get_loss_function
 from ..metrics import MetricsCalculator
 from ..models import Discriminator, get_model
 from ..parallel import data_sharding, make_mesh, replicate

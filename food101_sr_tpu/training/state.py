@@ -1,7 +1,7 @@
 """Train state pytrees and optimizer construction."""
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
