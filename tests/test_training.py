@@ -393,3 +393,21 @@ def test_resume_tolerates_ema_toggle(tmp_path):
     cfg3 = dict(base, epochs=3, resume=str(tmp_path / "w" / "tog_last"),
                 run_name="tog3")
     assert np.isfinite(train(cfg3)["psnr"])
+
+
+def test_zero_epochs_is_eval_only(tmp_path):
+    """--epochs 0 with --pretrained_weights = evaluate a checkpoint on the
+    test set without training (the reference has no eval-only mode; its
+    final-eval block only runs after a full training loop)."""
+    from food101_sr_tpu.training import train
+
+    base = dict(architecture="SRCNN", batch_size=8, lr=1e-3, epochs=1,
+                loss_function="mse", dataset="synthetic", crop_size=32,
+                scale_factor=4, subset=1.0, patience=10,
+                save_name="evo", weights_dir=str(tmp_path / "w"),
+                run_name="evo", seed=0, synthetic_size=96)
+    trained = train(base)
+    ev = train(dict(base, epochs=0, run_name="evo_eval", save_name="evo_eval",
+                    pretrained_weights=str(tmp_path / "w" / "evo_best")))
+    # same weights, same test set -> same metrics
+    assert abs(ev["psnr"] - trained["psnr"]) < 1e-4
