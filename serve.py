@@ -32,6 +32,7 @@ from PIL import Image
 
 from food101_sr_tpu.models import get_model
 from food101_sr_tpu.native import encode_jpeg_rgb8, encode_png_rgb8
+from food101_sr_tpu.ops import self_ensemble
 from food101_sr_tpu.parallel.spatial import RECEPTIVE_RADIUS, plan_windows
 from food101_sr_tpu.training import load_checkpoint
 
@@ -160,7 +161,7 @@ class SRServer:
     def __init__(self, architecture: str, checkpoint: str | None,
                  scale: int = 4, tile: int = 64, dtype=jnp.bfloat16,
                  png_level: int = 1, use_mesh: bool = False,
-                 max_batch: int = 8):
+                 max_batch: int = 8, tta: bool = False):
         self.scale = scale
         self.tile = tile
         self.png_level = png_level
@@ -211,8 +212,12 @@ class SRServer:
         # float32 either way (the PCIe/tunnel D2H link, not the MXU, is the
         # serving bottleneck for small models).
         def _sr_u8(x8):
-            y = self.model.apply(self.variables,
-                                 x8.astype(jnp.float32) / 255.0, train=False)
+            x = x8.astype(jnp.float32) / 255.0
+            fwd = lambda b: self.model.apply(self.variables, b, train=False)
+            # --tta: x8 geometric self-ensemble inside the same jit (two
+            # 4N-batched forwards; quality mode at ~8x device FLOPs, which
+            # a host-bound serving deployment mostly absorbs)
+            y = self_ensemble(fwd, x) if tta else fwd(x)
             return (jnp.clip(y, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
 
         self._fwd = jax.jit(_sr_u8)
@@ -428,6 +433,9 @@ def main():
     p.add_argument("--tile", type=int, default=64)
     p.add_argument("--png_level", type=int, default=1,
                    help="PNG zlib level for responses (1=fastest, 9=smallest)")
+    p.add_argument("--tta", action="store_true",
+                   help="x8 geometric self-ensemble per request (quality "
+                        "mode; ~8x device FLOPs inside the same batch)")
     p.add_argument("--mesh", action="store_true",
                    help="shard device batches over all local devices "
                         "(multi-chip TPU slice serving)")
@@ -447,7 +455,7 @@ def main():
 
     srv = SRServer(a.architecture, a.checkpoint or None, a.scale_factor,
                    a.tile, png_level=a.png_level, use_mesh=a.mesh,
-                   max_batch=a.max_batch)
+                   max_batch=a.max_batch, tta=a.tta)
     if a.warmup or a.warmup_sizes:
         sizes = None
         if a.warmup_sizes:

@@ -232,3 +232,30 @@ def test_statz_endpoint(server):
         assert stats["max_batch"] == server._batcher.max_batch
     finally:
         httpd.shutdown()
+
+
+def test_tta_serving_matches_library_ensemble(server):
+    """--tta serving output equals the library self-ensemble of the same
+    forward (and differs from the plain forward)."""
+    import serve
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from food101_sr_tpu.ops import self_ensemble
+
+    srv = serve.SRServer("SRCNN", None, scale=4, tile=32,
+                         dtype=jnp.float32, tta=True)
+    srv.variables = server.variables  # share weights with the plain server
+
+    img = _img(20, 12, seed=80)
+    a = np.asarray(srv.upscale(img), np.int16)
+    b = np.asarray(server.upscale(img), np.int16)
+    assert a.shape == b.shape and np.abs(a - b).max() > 1  # actually ensembles
+
+    x = np.asarray(img.convert("RGB"), np.float32)[None] / 255.0
+    # pad like the server does (tile 32 -> 32x32 bucket)
+    xp = np.pad(x, ((0, 0), (0, 20), (0, 12), (0, 0)), mode="edge")
+    fwd = lambda bch: srv.model.apply(srv.variables, bch, train=False)
+    ref = np.asarray(jnp.clip(self_ensemble(fwd, jnp.asarray(xp)), 0, 1))
+    ref8 = (ref[0, :48, :80] * 255.0 + 0.5).astype(np.int16)
+    assert np.abs(a - ref8).max() <= 1
