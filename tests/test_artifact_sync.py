@@ -63,3 +63,29 @@ def test_pull_missing_blob_fails_loudly(tmp_path):
     r = _run("pull", str(src), "--store", store)
     assert r.returncode != 0
     assert "missing blob" in r.stderr + r.stdout
+
+
+def test_gc_removes_only_unreferenced_blobs(tmp_path):
+    """gc keeps every blob any given manifest references and removes the
+    rest (stale revisions); pull still works afterwards."""
+    import shutil
+
+    store = str(tmp_path / "store")
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    for d, content in ((d1, b"one"), (d2, b"two")):
+        d.mkdir()
+        (d / "f.bin").write_bytes(content)
+        assert _run("push", str(d), "--store", store).returncode == 0
+    # revise d1: its old blob becomes unreferenced by the NEW manifest
+    (d1 / "f.bin").write_bytes(b"one-v2")
+    assert _run("push", str(d1), "--store", store).returncode == 0
+
+    r = _run("gc", str(d1), str(d2), "--store", store)
+    assert r.returncode == 0 and "removed 1 blob" in r.stdout
+
+    # both dirs restore from the collected store
+    for d in (d1, d2):
+        shutil.rmtree(d)
+        assert _run("pull", str(d), "--store", store).returncode == 0
+    assert (d1 / "f.bin").read_bytes() == b"one-v2"
+    assert (d2 / "f.bin").read_bytes() == b"two"

@@ -125,18 +125,50 @@ def status(dir_path: str) -> int:
     return 0 if clean else 1
 
 
+def gc(dirs, store: str) -> int:
+    """Delete store blobs referenced by none of the given manifests (the
+    `dvc gc -w` analogue). Pass EVERY tracked dir — blobs that only older
+    manifest revisions reference are collected."""
+    referenced = set()
+    for d in dirs:
+        with open(_manifest_path(d)) as f:
+            for meta in json.load(f)["files"].values():
+                referenced.add(meta["sha256"])
+    removed = kept = 0
+    for sub in (os.listdir(store) if os.path.isdir(store) else []):
+        subdir = os.path.join(store, sub)
+        if len(sub) != 2 or not os.path.isdir(subdir):
+            continue
+        for name in os.listdir(subdir):
+            if sub + name in referenced:
+                kept += 1
+            else:
+                os.remove(os.path.join(subdir, name))
+                removed += 1
+        if not os.listdir(subdir):
+            os.rmdir(subdir)
+    print(f"gc: removed {removed} blob(s), kept {kept}")
+    return removed
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("command", choices=["push", "pull", "status"])
-    p.add_argument("dir")
+    p.add_argument("command", choices=["push", "pull", "status", "gc"])
+    p.add_argument("dir", nargs="+",
+                   help="tracked dir (gc accepts several: every manifest "
+                        "whose blobs must be kept)")
     p.add_argument("--store", default=DEFAULT_STORE)
     a = p.parse_args(argv)
+    if a.command != "gc" and len(a.dir) != 1:
+        p.error(f"{a.command} takes exactly one dir")
     if a.command == "push":
-        push(a.dir, a.store)
+        push(a.dir[0], a.store)
     elif a.command == "pull":
-        pull(a.dir, a.store)
+        pull(a.dir[0], a.store)
+    elif a.command == "gc":
+        gc(a.dir, a.store)
     else:
-        sys.exit(status(a.dir))
+        sys.exit(status(a.dir[0]))
 
 
 if __name__ == "__main__":
