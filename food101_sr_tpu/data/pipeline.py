@@ -242,6 +242,9 @@ class SRDataLoader:
                         list(enumerate(idx, start=start)), pi, pc)
                     batch = np.stack(list(pool.map(one, work)))
                     out.put(batch)
+        except BaseException as e:  # propagate: a worker error (corrupt
+            # file, OOM) must fail the epoch loudly, not truncate it
+            out.put(e)
         finally:
             out.put(None)
 
@@ -261,6 +264,9 @@ class SRDataLoader:
             batch = q.get()
             if batch is None:
                 break
+            if isinstance(batch, BaseException):
+                raise RuntimeError(
+                    "data loader worker failed; epoch aborted") from batch
             yield self._to_global(batch)
 
     def _to_global(self, local_np: np.ndarray):

@@ -223,3 +223,28 @@ def test_loader_over_food101_source(food101_tree):
     loader2.set_epoch(0)
     for x, y in zip(batches, loader2):
         np.testing.assert_array_equal(x, np.asarray(y))
+
+
+def test_loader_propagates_worker_errors():
+    """A failing sample (corrupt file, OOM) must abort the epoch loudly —
+    not silently truncate it (the producer thread previously swallowed the
+    exception and just ended the queue)."""
+
+    class Flaky:
+        def __init__(self, n=8):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise OSError("simulated corrupt image")
+            arr = np.full((64, 64, 3), i, np.uint8)
+            return Image.fromarray(arr)
+
+    loader = SRDataLoader(Flaky(), crop_size=32, batch_size=4, train=False,
+                          shuffle=False, seed=0)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        for _ in loader:
+            pass
