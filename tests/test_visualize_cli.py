@@ -63,3 +63,22 @@ def test_generate_model_vis_dumps(tmp_path):
         assert (d / "jaxpr.txt").stat().st_size > 0
         hlo = (d / "hlo_unoptimized.txt").read_text()
         assert "module @jit_forward" in hlo  # StableHLO lowering
+
+
+def test_run_comparison_full_metrics(tmp_path):
+    """--metrics adds SSIM/LPIPS/NLPD per image and a summary dict."""
+    import visualize
+    from food101_sr_tpu.models import get_model
+    from food101_sr_tpu.training import save_checkpoint
+
+    model = get_model("SRCNN", scale_factor=4)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 8, 8, 3)), train=False)
+    ckpt = save_checkpoint({"params": v["params"], "extra": {}},
+                           str(tmp_path / "srcnn"))
+    times, summary = visualize.run_comparison(
+        dataset="synthetic", num_examples=2, out_dir=str(tmp_path / "rep"),
+        seed=0, weights={"SRCNN": ckpt}, full_metrics=True)
+    assert set(summary["SRCNN"]) == {"psnr", "ssim", "lpips", "nlpd"}
+    assert 0 < summary["SRCNN"]["ssim"] <= 1
+    assert np.isfinite(summary["SRCNN"]["psnr"])

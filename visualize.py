@@ -117,7 +117,8 @@ class ModelRunner:
 
 def run_comparison(dataset="food101", data_root="./data",
                    num_examples=NUM_EXAMPLES, out_dir=OUTPUT_DIR,
-                   bucket=True, seed=0, weights=None, tta=False):
+                   bucket=True, seed=0, weights=None, tta=False,
+                   full_metrics=False):
     if dataset == "synthetic":
         source = SyntheticSource(n=max(num_examples, 16), seed=seed)
     else:
@@ -132,6 +133,12 @@ def run_comparison(dataset="food101", data_root="./data",
     runners = [ModelRunner(name, path) for name, path in (weights or WEIGHTS).items()]
     runners = [r for r in runners if r.variables is not None]
 
+    metrics_calc = None
+    if full_metrics:  # the reference report prints PSNR only
+        from food101_sr_tpu.metrics import MetricsCalculator
+
+        metrics_calc = MetricsCalculator()
+    all_metrics = defaultdict(lambda: defaultdict(list))
     inference_times = defaultdict(list)
     for i, idx in enumerate(indices):
         print(f"\n--- Processing Image {i + 1}/{len(indices)} (Index: {idx}) ---")
@@ -160,16 +167,35 @@ def run_comparison(dataset="food101", data_root="./data",
             inference_times[runner.name].append(dt)
             Image.fromarray(sr).save(
                 os.path.join(save_path, f"{runner.name.lower()}.png"))
-            print(f"Saved {runner.name} | PSNR: "
-                  f"{calculate_psnr(sr, hr_img):.2f} dB | "
-                  f"Inference: {dt * 1000:.2f} ms")
+            line = (f"Saved {runner.name} | PSNR: "
+                    f"{calculate_psnr(sr, hr_img):.2f} dB | "
+                    f"Inference: {dt * 1000:.2f} ms")
+            if metrics_calc is not None:
+                m = metrics_calc.compute(
+                    jnp.asarray(sr, jnp.float32)[None] / 255.0,
+                    jnp.asarray(np.asarray(hr_img), jnp.float32)[None] / 255.0)
+                for k, v in m.items():
+                    all_metrics[runner.name][k].append(v)
+                line += (f" | SSIM {m['ssim']:.4f} | LPIPS {m['lpips']:.4f}"
+                         f" | NLPD {m['nlpd']:.4f}")
+            print(line)
 
     print(f"\n{'=' * 50}\nINFERENCE TIME SUMMARY\n{'=' * 50}")
     for name, times in inference_times.items():
         ms = np.asarray(times) * 1000
         print(f"{name:15} | Avg: {ms.mean():7.2f} ms | Std: {ms.std():6.2f} ms "
               f"| Min: {ms.min():7.2f} ms | Max: {ms.max():7.2f} ms")
+    if all_metrics:
+        print(f"\n{'=' * 50}\nQUALITY METRICS (mean over "
+              f"{len(indices)} images)\n{'=' * 50}")
+        for name, md in all_metrics.items():
+            print(f"{name:15} | " + " | ".join(
+                f"{k} {np.mean(v):.4f}" for k, v in md.items()))
     print(f"\nDone! Check the '{out_dir}' folder.")
+    if all_metrics:
+        return inference_times, {n: {k: float(np.mean(v))
+                                     for k, v in md.items()}
+                                 for n, md in all_metrics.items()}
     return inference_times
 
 
@@ -185,6 +211,10 @@ if __name__ == "__main__":
     p.add_argument("--self_ensemble", action="store_true",
                    help="x8 geometric TTA (dihedral transforms averaged; "
                         "~0.1-0.2 dB PSNR for 8x the forward FLOPs)")
+    p.add_argument("--metrics", action="store_true",
+                   help="also compute SSIM/LPIPS/NLPD per image + summary "
+                        "(the reference report prints PSNR only)")
     a = p.parse_args()
     run_comparison(a.dataset, a.data_root, a.num_examples, a.out_dir,
-                   bucket=not a.no_bucket, seed=a.seed, tta=a.self_ensemble)
+                   bucket=not a.no_bucket, seed=a.seed, tta=a.self_ensemble,
+                   full_metrics=a.metrics)
