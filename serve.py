@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import signal
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -44,9 +45,15 @@ class SRHTTPServer(ThreadingHTTPServer):
     whenever more than a handful arrive while handlers are busy — e.g. the
     first seconds of traffic on a fresh shape bucket, where one request
     holds the batcher through an XLA compile and the rest pile up.
+
+    Handler threads are non-daemon + block_on_close, so a graceful
+    shutdown (SIGTERM/SIGINT, see main) finishes in-flight requests
+    instead of killing them mid-response.
     """
 
     request_queue_size = 128
+    daemon_threads = False
+    block_on_close = True
 
 
 class MicroBatcher:
@@ -465,9 +472,18 @@ def main():
         srv.warmup(sizes)
         print(f"warmup done in {time.perf_counter() - t0:.1f}s")
     httpd = SRHTTPServer((a.host, a.port), make_handler(srv))
-    print(f"serving {a.architecture} x{a.scale_factor} on "
+
+    def _graceful(signum, _frame):
+        print(f"signal {signum}: draining in-flight requests ...")
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
+    signal.signal(signal.SIGINT, _graceful)
+    print(f"serving {srv.arch} x{srv.scale} on "
           f"http://{a.host}:{a.port}  (POST /sr, GET /healthz)")
     httpd.serve_forever()
+    httpd.server_close()  # joins handler threads (block_on_close)
+    print(f"shut down cleanly after {srv.n_served} image(s)")
 
 
 if __name__ == "__main__":
