@@ -323,7 +323,16 @@ class SRServer:
         return sr
 
 
-def make_handler(server: SRServer):
+def make_handler(server, default: str | None = None):
+    """HTTP handler for one SRServer or a {name: SRServer} zoo.
+
+    With a dict, ``POST /sr?model=NAME`` routes per request (e.g. a fast
+    SRCNN next to a quality AttentionSR on the same chip — each model has
+    its own micro-batcher, XLA serializes their device batches);
+    ``default`` names the unqualified route (first entry if omitted)."""
+    servers = server if isinstance(server, dict) else {"default": server}
+    default = default or next(iter(servers))
+
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 keep-alive: every response carries Content-Length, so
         # clients can reuse connections — on a single-core host the TCP
@@ -349,23 +358,35 @@ def make_handler(server: SRServer):
 
         def do_GET(self):
             if self.path == "/healthz":
-                info = {"status": "ok", "architecture": server.arch,
-                        "scale": server.scale, "served": server.n_served,
-                        "device": jax.devices()[0].platform}
+                info = {"status": "ok", "default": default,
+                        "device": jax.devices()[0].platform,
+                        "models": {n: {"architecture": s.arch,
+                                       "scale": s.scale,
+                                       "served": s.n_served}
+                                   for n, s in servers.items()}}
+                if len(servers) == 1:  # single-model back-compat shape
+                    s = servers[default]
+                    info.update(architecture=s.arch, scale=s.scale,
+                                served=s.n_served)
                 self._send(200, json.dumps(info).encode(), "application/json")
             elif self.path == "/statz":
-                b = server._batcher
-                info = {
-                    "served": server.n_served,
-                    "device_batches": b.n_batches,
-                    "batched_items": b.n_items,
-                    # <1.0 means the micro-batcher is coalescing; at 1/max
-                    # batch the chip runs full batches every dispatch
-                    "batches_per_item": round(b.n_batches / b.n_items, 4)
-                                        if b.n_items else None,
-                    "max_batch": b.max_batch,
-                    "queue_depth": b._q.qsize(),
-                }
+                def one(s):
+                    b = s._batcher
+                    return {
+                        "served": s.n_served,
+                        "device_batches": b.n_batches,
+                        "batched_items": b.n_items,
+                        # <1.0 means the micro-batcher is coalescing; at
+                        # 1/max_batch the chip runs full batches every
+                        # dispatch
+                        "batches_per_item": round(b.n_batches / b.n_items, 4)
+                                            if b.n_items else None,
+                        "max_batch": b.max_batch,
+                        "queue_depth": b._q.qsize(),
+                    }
+
+                info = (one(servers[default]) if len(servers) == 1
+                        else {n: one(s) for n, s in servers.items()})
                 self._send(200, json.dumps(info).encode(), "application/json")
             else:
                 self._send(404, b"not found; POST an image to /sr", "text/plain")
@@ -394,6 +415,11 @@ def make_handler(server: SRServer):
             except ValueError:
                 self._send(400, b"quality must be an integer", "text/plain")
                 return
+            srv = servers.get(q.get("model", [default])[0])
+            if srv is None:
+                self._send(404, ("unknown model; available: "
+                                 + ", ".join(servers)).encode(), "text/plain")
+                return
             length = int(self.headers.get("Content-Length", 0))
             if length == 0 or length > 64 << 20:
                 self._send(413 if length else 400,
@@ -407,7 +433,7 @@ def make_handler(server: SRServer):
                 self._send(400, b"could not decode image", "text/plain")
                 return
             t0 = time.perf_counter()
-            sr = server.upscale(img)
+            sr = srv.upscale(img)
             dt = (time.perf_counter() - t0) * 1e3
             # C++ fast encode: on a single-core TPU-VM host, PIL's encode
             # of a large SR output costs more wall time than the jitted
@@ -417,7 +443,7 @@ def make_handler(server: SRServer):
                 body = encode_jpeg_rgb8(np.asarray(sr), quality)
                 ctype = "image/jpeg"
             else:
-                body = encode_png_rgb8(np.asarray(sr), server.png_level)
+                body = encode_png_rgb8(np.asarray(sr), srv.png_level)
                 ctype = "image/png"
             self.send_response(200)
             self.send_header("Content-Type", ctype)
@@ -456,22 +482,46 @@ def main():
     p.add_argument("--warmup_sizes", default="",
                    help="comma-separated HxW LR bucket sizes to warm, e.g. "
                         "'64x64,224x224' (implies --warmup)")
+    p.add_argument("--model", action="append", default=[],
+                   metavar="NAME=ARCH[@CKPT]",
+                   help="multi-model serving: repeat, e.g. --model "
+                        "fast=SRCNN --model best=auto@weights/attn_best; "
+                        "POST /sr?model=NAME routes (first entry is the "
+                        "default). Overrides --architecture/--checkpoint.")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8700)
     a = p.parse_args()
 
-    srv = SRServer(a.architecture, a.checkpoint or None, a.scale_factor,
-                   a.tile, png_level=a.png_level, use_mesh=a.mesh,
-                   max_batch=a.max_batch, tta=a.tta)
+    def build(arch, ckpt):
+        return SRServer(arch, ckpt or None, a.scale_factor, a.tile,
+                        png_level=a.png_level, use_mesh=a.mesh,
+                        max_batch=a.max_batch, tta=a.tta)
+
+    if a.model:
+        zoo = {}
+        for spec in a.model:
+            name, _, rest = spec.partition("=")
+            arch, _, ckpt = rest.partition("@")
+            if not name or not arch:
+                p.error(f"--model needs NAME=ARCH[@CKPT], got {spec!r}")
+            zoo[name] = build(arch, ckpt)
+        srv = zoo
+        default = next(iter(zoo))
+        to_warm = list(zoo.values())
+    else:
+        srv = build(a.architecture, a.checkpoint)
+        default = None
+        to_warm = [srv]
     if a.warmup or a.warmup_sizes:
         sizes = None
         if a.warmup_sizes:
             sizes = [tuple(int(v) for v in s.split("x"))
                      for s in a.warmup_sizes.split(",") if s]
         t0 = time.perf_counter()
-        srv.warmup(sizes)
+        for s in to_warm:
+            s.warmup(sizes)
         print(f"warmup done in {time.perf_counter() - t0:.1f}s")
-    httpd = SRHTTPServer((a.host, a.port), make_handler(srv))
+    httpd = SRHTTPServer((a.host, a.port), make_handler(srv, default))
 
     def _graceful(signum, _frame):
         print(f"signal {signum}: draining in-flight requests ...")
@@ -479,11 +529,15 @@ def main():
 
     signal.signal(signal.SIGTERM, _graceful)
     signal.signal(signal.SIGINT, _graceful)
-    print(f"serving {srv.arch} x{srv.scale} on "
+    label = (", ".join(f"{n}={s.arch}x{s.scale}" for n, s in srv.items())
+             if isinstance(srv, dict) else f"{srv.arch} x{srv.scale}")
+    print(f"serving {label} on "
           f"http://{a.host}:{a.port}  (POST /sr, GET /healthz)")
     httpd.serve_forever()
     httpd.server_close()  # joins handler threads (block_on_close)
-    print(f"shut down cleanly after {srv.n_served} image(s)")
+    n = (sum(s.n_served for s in srv.values()) if isinstance(srv, dict)
+         else srv.n_served)
+    print(f"shut down cleanly after {n} image(s)")
 
 
 if __name__ == "__main__":

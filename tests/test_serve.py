@@ -259,3 +259,56 @@ def test_tta_serving_matches_library_ensemble(server):
     ref = np.asarray(jnp.clip(self_ensemble(fwd, jnp.asarray(xp)), 0, 1))
     ref8 = (ref[0, :48, :80] * 255.0 + 0.5).astype(np.int16)
     assert np.abs(a - ref8).max() <= 1
+
+
+def test_multi_model_routing(server):
+    """?model= routes between models in one process; unknown -> 404;
+    healthz/statz report the zoo."""
+    import json as _json
+    import serve
+    import jax.numpy as jnp
+
+    other = serve.SRServer("RESNET", None, scale=4, tile=32,
+                           dtype=jnp.float32)
+    zoo = {"fast": server, "best": other}
+    httpd = serve.SRHTTPServer(("127.0.0.1", 0), serve.make_handler(zoo))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            h = _json.loads(r.read())
+        assert h["default"] == "fast"
+        assert set(h["models"]) == {"fast", "best"}
+        assert h["models"]["best"]["architecture"] == "RESNET"
+
+        buf = io.BytesIO()
+        _img(16, 16, seed=90).save(buf, format="PNG")
+        body = buf.getvalue()
+        outs = {}
+        for name in ("fast", "best"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/sr?model={name}", data=body,
+                method="POST")
+            with urllib.request.urlopen(req) as r:
+                outs[name] = np.asarray(
+                    Image.open(io.BytesIO(r.read())), np.int16)
+        assert outs["fast"].shape == outs["best"].shape == (64, 64, 3)
+        assert np.abs(outs["fast"] - outs["best"]).max() > 1  # distinct nets
+        # unqualified route == default model
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/sr",
+                                     data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            d = np.asarray(Image.open(io.BytesIO(r.read())), np.int16)
+        assert np.array_equal(d, outs["fast"])
+        # unknown model -> 404
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/sr?model=nope",
+                                     data=body, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 404
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/statz") as r:
+            st = _json.loads(r.read())
+        assert set(st) == {"fast", "best"}
+    finally:
+        httpd.shutdown()
