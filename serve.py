@@ -338,6 +338,11 @@ def make_handler(server, default: str | None = None):
         # clients can reuse connections — on a single-core host the TCP
         # accept+teardown per request is measurable at high request rates
         protocol_version = "HTTP/1.1"
+        # Idle keep-alive timeout. Without it, handler threads block
+        # forever in readline() on idle pooled connections — and since
+        # graceful shutdown joins handler threads (block_on_close), one
+        # idle client would make SIGTERM hang indefinitely.
+        timeout = 30
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -498,13 +503,20 @@ def main():
                         max_batch=a.max_batch, tta=a.tta)
 
     if a.model:
-        zoo = {}
+        # validate every spec BEFORE building any server: construction can
+        # cost minutes of XLA compile, so fail fast on a bad later entry
+        specs = []
         for spec in a.model:
             name, _, rest = spec.partition("=")
             arch, _, ckpt = rest.partition("@")
             if not name or not arch:
                 p.error(f"--model needs NAME=ARCH[@CKPT], got {spec!r}")
-            zoo[name] = build(arch, ckpt)
+            if arch == "auto" and not ckpt:
+                p.error(f"--model {spec!r}: auto requires @CKPT")
+            if any(n == name for n, _, _ in specs):
+                p.error(f"--model: duplicate name {name!r}")
+            specs.append((name, arch, ckpt))
+        zoo = {name: build(arch, ckpt) for name, arch, ckpt in specs}
         srv = zoo
         default = next(iter(zoo))
         to_warm = list(zoo.values())

@@ -131,9 +131,16 @@ def gc(dirs, store: str) -> int:
     manifest revisions reference are collected."""
     referenced = set()
     for d in dirs:
-        with open(_manifest_path(d)) as f:
-            for meta in json.load(f)["files"].values():
-                referenced.add(meta["sha256"])
+        try:
+            with open(_manifest_path(d)) as f:
+                manifest = json.load(f)
+        except FileNotFoundError:
+            # the one destructive subcommand fails loudly-but-friendly: a
+            # typo'd dir must not silently shrink the kept set
+            sys.exit(f"gc: no manifest for {d!r} ({_manifest_path(d)}); "
+                     f"pass every pushed dir (nothing was deleted)")
+        for meta in manifest["files"].values():
+            referenced.add(meta["sha256"])
     removed = kept = 0
     for sub in (os.listdir(store) if os.path.isdir(store) else []):
         subdir = os.path.join(store, sub)
