@@ -29,9 +29,9 @@ N_SHORT, N_LONG = 5, 25
 REPEATS = 3
 
 # Fallback if torch is unavailable on the bench host: torch-CPU throughput
-# of the reference AttentionSR on this image (measured 2026-08-16,
-# batch 4, eval mode, fp32).
-FALLBACK_BASELINE_IPS = None  # set below after first measurement if needed
+# of the reference AttentionSR on this image (measured 2026-08-16 on the
+# 1-core driver host, batch 4, eval mode, fp32 — BENCH_r01.json).
+FALLBACK_BASELINE_IPS = 2.40
 
 
 def log(*a):

@@ -1,3 +1,3 @@
-from .metrics import MetricsCalculator, lpips_alex, psnr, ssim
+from .metrics import LPIPSAlex, MetricsCalculator, lpips_alex, psnr, ssim
 
-__all__ = ["MetricsCalculator", "lpips_alex", "psnr", "ssim"]
+__all__ = ["LPIPSAlex", "MetricsCalculator", "lpips_alex", "psnr", "ssim"]

@@ -12,7 +12,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import SNConv, SNDense
+from .layers import SNConv, SNDense, TorchBatchNorm
 
 
 class Discriminator(nn.Module):
@@ -33,7 +33,7 @@ class Discriminator(nn.Module):
             x = SNConv(f, 3, strides=s, use_bias=bias, dtype=self.dtype,
                        name=f"block_{i}")(x, update_stats=train)
             if bn:
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype,
                                  name=f"bn_{i}")(x)
             x = nn.leaky_relu(x, negative_slope=0.2)

@@ -173,6 +173,60 @@ class SEBlock(nn.Module):
         return x * y[:, None, None, :]
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with ``torch.nn.BatchNorm2d``'s EXACT running-stat
+    semantics (reference src/models.py:47-50,114 et al. all use torch BN).
+
+    ``flax.linen.BatchNorm`` accumulates the BIASED batch variance into
+    ``running_var``; torch accumulates the Bessel-corrected (unbiased)
+    ``var * n/(n-1)`` (n = N*H*W) while still normalizing the current batch
+    with the biased one. The ~1/n systematic offset is invisible to
+    train-mode losses but shifts every EVAL-mode activation — measured 92%
+    of output pixels beyond 5e-4 after 20 small-batch steps
+    (tests/test_training_parity_torch.py::test_sgd_trajectory_and_eval_parity)
+    — real drift against the <0.05 dB parity target. Stats are computed in
+    f32 regardless of compute dtype. Param/collection layout matches
+    nn.BatchNorm (params: scale/bias; batch_stats: mean/var) so existing
+    checkpoints, the .pth converters, and detect_architecture are untouched.
+
+    Under a data mesh the batch axes reduce over the GLOBAL batch inside
+    jit (XLA inserts the cross-replica psum), so multi-chip training keeps
+    torch single-device semantics including the global n in the Bessel
+    factor.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = x.size // feat
+                m = jnp.float32(self.momentum)
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = (m * ra_var.value
+                                + (1 - m) * var * (n / max(n - 1, 1)))
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
 class ResidualBlock(nn.Module):
     """conv3x3 -> BN -> PReLU -> conv3x3 -> BN (+optional SE), identity skip,
     no residual scaling (reference src/models.py:43-60)."""
@@ -184,13 +238,13 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         r = Conv(self.channels, 3, dtype=self.dtype, name="conv1")(x)
-        r = nn.BatchNorm(
+        r = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn1",
         )(r)
         r = PReLU(name="prelu")(r)
         r = Conv(self.channels, 3, dtype=self.dtype, name="conv2")(r)
-        r = nn.BatchNorm(
+        r = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn2",
         )(r)

@@ -11,7 +11,7 @@ from typing import Any
 
 from flax import linen as nn
 
-from .layers import Conv, PReLU, ResidualBlock, UpsampleBlock
+from .layers import Conv, PReLU, ResidualBlock, TorchBatchNorm, UpsampleBlock
 
 
 class ResNetSR(nn.Module):
@@ -33,7 +33,7 @@ class ResNetSR(nn.Module):
             r = block_cls(self.num_channels, use_se=False, dtype=self.dtype,
                           name=f"res_{i}")(r, train)
         r = Conv(self.num_channels, 3, dtype=self.dtype, name="mid_conv")(r)
-        r = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        r = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn_mid")(r)
         x = initial + r
         assert self.scale_factor >= 2 and \

@@ -1,3 +1,4 @@
+from .distributed import maybe_initialize, maybe_initialize_from_config
 from .mesh import cpu_mesh, data_sharding, make_mesh, replicate, replicate_sharding
 from .spatial import RECEPTIVE_RADIUS, tiled_apply, tiled_forward_for
 
@@ -6,6 +7,8 @@ __all__ = [
     "cpu_mesh",
     "data_sharding",
     "make_mesh",
+    "maybe_initialize",
+    "maybe_initialize_from_config",
     "replicate",
     "replicate_sharding",
     "tiled_apply",

@@ -16,14 +16,31 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _checkpointer() -> ocp.Checkpointer:
+    """Single-process runs use the stock StandardCheckpointer. Multi-host
+    runs save from process 0 ONLY (training/loop.py guards with
+    ``is_main``) — state is replicated, so one host's copy is complete —
+    and the stock checkpointer would deadlock there: its save finalization
+    barriers across ALL processes, but processes 1..n never call save.
+    ``active_processes={0}`` scopes the barrier to the one caller."""
+    if jax.process_count() > 1:
+        return ocp.Checkpointer(
+            ocp.StandardCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0},
+                barrier_sync_key_prefix="food101_sr_p0"))
+    return ocp.StandardCheckpointer()
+
+
 def save_checkpoint(tree: Any, path: str) -> str:
     """Save a pytree under ``path`` (a directory); returns the path."""
     path = os.path.abspath(path)
-    ckpt = ocp.StandardCheckpointer()
+    ckpt = _checkpointer()
     # Gather to host numpy so sharded arrays save portably.
     host_tree = jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
     ckpt.save(path, host_tree, force=True)
-    ckpt.wait_until_finished()
+    if hasattr(ckpt, "wait_until_finished"):  # async StandardCheckpointer
+        ckpt.wait_until_finished()            # (the sync one returns done)
     return path
 
 

@@ -33,7 +33,12 @@ from ..data import (
 from ..losses import get_loss_function
 from ..metrics import MetricsCalculator
 from ..models import Discriminator, get_model
-from ..parallel import data_sharding, make_mesh, replicate
+from ..parallel import (
+    data_sharding,
+    make_mesh,
+    maybe_initialize_from_config,
+    replicate,
+)
 from ..utils import RunLogger
 from .checkpoint import (
     load_checkpoint,
@@ -81,6 +86,14 @@ DEFAULTS: dict[str, Any] = {
     "profile_dir": "runs/profile",
     "ema": 0.0,                 # >0: EMA decay for generator params; EMA
                                 # weights are validated and checkpointed
+    # Multi-host launch (parallel/distributed.py): same command on every
+    # host; the mesh then spans all processes' devices and the loader
+    # feeds each host its interleaved slice of the global batch.
+    "coordinator": "",          # host:port of process 0 (torchrun-style)
+    "num_processes": 0,
+    "process_id": -1,
+    "distributed": "",          # "auto" = bare jax.distributed.initialize()
+                                # (TPU pods autodetect the topology)
 }
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
@@ -101,6 +114,9 @@ def _mean(values):
 
 def train(config: Mapping[str, Any] | None = None) -> dict:
     cfg = {**DEFAULTS, **(config or {})}
+    # Multi-host first: jax.distributed must come up before any backend
+    # touch (mesh build, device queries). No-op for single-process runs.
+    maybe_initialize_from_config(cfg)
     with RunLogger(cfg, name=cfg.get("run_name"),
                    use_wandb=cfg.get("use_wandb")) as logger:
         cfg = {**DEFAULTS, **logger.config}  # sweep agents may override keys
@@ -116,8 +132,12 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
     mesh = make_mesh()
     shard = data_sharding(mesh)
     n_dev = len(mesh.devices.flat)
+    # Multi-host: every process runs the identical loop on global arrays;
+    # only process 0 touches the filesystem (checkpoints, artifact logs) —
+    # state is replicated, so one host's copy is the whole story.
+    is_main = jax.process_index() == 0
     print(f"Running on {n_dev} device(s) {mesh.devices.flat[0].platform} | "
-          f"Arch: {cfg['architecture']}")
+          f"{jax.process_count()} process(es) | Arch: {cfg['architecture']}")
 
     # --- data -----------------------------------------------------------
     train_source, test_source = _build_sources(cfg)
@@ -286,21 +306,30 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
                     "val_loss": avg_val_loss, "lr": new_lr,
                     "nonfinite_total": n_skipped})
 
-        if stopper.update(avg_psnr):
+        if stopper.update(avg_psnr) and is_main:
             best_params = (g_state.ema_params if ema_decay is not None
                            else g_state.params)
             save_checkpoint({"params": best_params, "extra": g_state.extra},
                             ckpt_path)
             logger.save(ckpt_path)
         # rolling full-state checkpoint for preemption resume (--resume)
-        save_train_checkpoint(g_state, epoch, scheduler, stopper, last_path,
-                              d_state=d_state)
+        if is_main:
+            save_train_checkpoint(g_state, epoch, scheduler, stopper,
+                                  last_path, d_state=d_state)
         if stopper.should_stop:
             print("Early stopping triggered")
             break
 
     # --- final test eval -----------------------------------------------------
     print("\nRunning Final Test Set Evaluation...")
+    if jax.process_count() > 1:
+        # all hosts wait for process 0's best-checkpoint write to finalize
+        # before checking for it (weights_dir should be shared storage on a
+        # pod); without the barrier a fast host could miss the file and
+        # eval divergent params
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("food101_sr_final_eval")
     if os.path.exists(ckpt_path):
         best = load_checkpoint(
             ckpt_path, {"params": g_state.params, "extra": g_state.extra}
@@ -320,4 +349,8 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
     final = {k: _mean(v) for k, v in test_metrics.items()}
     print(f"Final Test Results: {final}")
     logger.log({f"test_{k}": v for k, v in final.items()})
+    # Best validation PSNR (the sweep objective, reference
+    # configs/sweep_tuning.yaml:3-5) rides along so model selection never
+    # touches the test metrics; -inf only for zero-epoch runs.
+    final["val_psnr"] = stopper.best if np.isfinite(stopper.best) else 0.0
     return final

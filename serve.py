@@ -110,8 +110,15 @@ class MicroBatcher:
     def _run(self):
         import queue as _q
 
+        pending = None  # mismatched-bucket item held for the NEXT round
         while True:
-            first = self._q.get()
+            # A held item leads the next round rather than being re-queued
+            # at the FIFO tail — re-queuing would let sustained traffic of
+            # another shape bucket starve a minority-bucket request
+            # indefinitely (it lands behind all newly-arrived work each
+            # round).
+            first = pending if pending is not None else self._q.get()
+            pending = None
             group = [first]
             shape = first[0].shape
             deadline = time.perf_counter() + self.window
@@ -125,8 +132,8 @@ class MicroBatcher:
                     break
                 if item[0].shape == shape:
                     group.append(item)
-                else:  # different bucket: push back for the next round
-                    self._q.put(item)
+                else:  # different bucket: hold it to lead the next round
+                    pending = item
                     break
             try:
                 # pad the batch dim to max_batch: ONE compiled program per
@@ -213,7 +220,15 @@ class SRServer:
             else:
                 self.variables = variables  # random weights (smoke tests)
         self.arch = architecture
-        self.halo = RECEPTIVE_RADIUS.get(architecture, 80)
+        # Halo must cover the receptive-field radius or tiling is no longer
+        # exact (seam artifacts). Residual nets: 4 (input conv9) + 2*n_res
+        # (two conv3 per block) + 1 (mid conv3) + ~3 (tail at LR scale)
+        # + margin -> 2*n_res + 16, which reproduces the RECEPTIVE_RADIUS
+        # table for the registry depths (16->48, 32->80) and stays exact
+        # for deeper --architecture auto checkpoints.
+        n_res = getattr(self.model, "num_residuals", None)
+        self.halo = (2 * int(n_res) + 16 if n_res is not None
+                     else RECEPTIVE_RADIUS.get(architecture, 80))
         # uint8 in / uint8 out: ToTensor and the 255-quantization both run
         # on device, so host<->device traffic is 4x smaller than shipping
         # float32 either way (the PCIe/tunnel D2H link, not the MXU, is the

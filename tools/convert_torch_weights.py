@@ -21,10 +21,13 @@ import os
 import numpy as np
 
 
-def convert_vgg19(out_dir):
-    from torchvision.models import vgg19
-
-    net = vgg19(weights="DEFAULT").features[:35].eval()
+def features_to_arrays(net) -> dict:
+    """Flat ``conv_{i}/kernel`` (HWIO) + ``conv_{i}/bias`` arrays from any
+    torch Sequential of Conv2d/ReLU/MaxPool layers — the single conversion
+    path shared by both feature nets, and unit-tested against randomly
+    initialized plain-torch stacks (tests/test_feature_nets_torch.py), so
+    the OIHW->HWIO transpose is proven before real weights ever flow
+    through it."""
     arrays = {}
     conv_idx = 0
     for layer in net:
@@ -33,34 +36,39 @@ def convert_vgg19(out_dir):
             arrays[f"conv_{conv_idx}/kernel"] = w.transpose(2, 3, 1, 0)  # HWIO
             arrays[f"conv_{conv_idx}/bias"] = layer.bias.detach().numpy()
             conv_idx += 1
+    return arrays
+
+
+def lpips_heads_to_arrays(lins) -> dict:
+    """``lin_{i}: [C_i]`` head weights from lpips.LPIPS(net='alex').lins
+    (each a NetLinLayer whose last module is a 1x1 Conv2d [1,C,1,1])."""
+    return {f"lin_{i}": lin.model[-1].weight.detach().numpy().reshape(-1)
+            for i, lin in enumerate(lins)}
+
+
+def convert_vgg19(out_dir):
+    from torchvision.models import vgg19
+
+    net = vgg19(weights="DEFAULT").features[:35].eval()
+    arrays = features_to_arrays(net)
     np.savez(os.path.join(out_dir, "vgg19_features.npz"), **arrays)
-    print(f"vgg19: {conv_idx} convs")
+    print(f"vgg19: {sum(1 for k in arrays if k.endswith('kernel'))} convs")
 
 
 def convert_alexnet(out_dir):
     from torchvision.models import alexnet
 
     net = alexnet(weights="DEFAULT").features.eval()
-    arrays = {}
-    conv_idx = 0
-    for layer in net:
-        if layer.__class__.__name__ == "Conv2d":
-            w = layer.weight.detach().numpy()
-            arrays[f"conv_{conv_idx}/kernel"] = w.transpose(2, 3, 1, 0)
-            arrays[f"conv_{conv_idx}/bias"] = layer.bias.detach().numpy()
-            conv_idx += 1
+    arrays = features_to_arrays(net)
     np.savez(os.path.join(out_dir, "alexnet_features.npz"), **arrays)
-    print(f"alexnet: {conv_idx} convs")
+    print(f"alexnet: {sum(1 for k in arrays if k.endswith('kernel'))} convs")
 
 
 def convert_lpips_heads(out_dir):
     import lpips
 
     net = lpips.LPIPS(net="alex", verbose=False)
-    arrays = {}
-    for i, lin in enumerate(net.lins):
-        w = lin.model[-1].weight.detach().numpy()  # [1, C, 1, 1]
-        arrays[f"lin_{i}"] = w.reshape(-1)
+    arrays = lpips_heads_to_arrays(net.lins)
     np.savez(os.path.join(out_dir, "lpips_alex_heads.npz"), **arrays)
     print(f"lpips heads: {len(arrays)}")
 

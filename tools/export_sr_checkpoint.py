@@ -93,12 +93,24 @@ def export_srnet(params: dict, extra: dict) -> dict:
     if not attention:  # mid-conv BN exists only in ResNetSR (src/models.py:114)
         _bn(sd, "bn_mid", params["bn_mid"], stats["bn_mid"])
 
-    # upsample Sequential indices: 0/3 convs, 2/5 PReLUs (src/models.py:116-123)
-    for ours, conv_i, prelu_i in (("up_0", 0, 2), ("up_1", 3, 5)):
-        sd[f"upsample.{conv_i}.weight"] = _conv(
-            params[ours]["conv"]["conv"]["kernel"])
-        sd[f"upsample.{conv_i}.bias"] = _np(params[ours]["conv"]["conv"]["bias"])
-        sd[f"upsample.{prelu_i}.weight"] = _prelu(params[ours]["prelu"]["alpha"])
+    # Upsample Sequential: [conv, PixelShuffle, PReLU] per x2 stage, so
+    # stage s lands at indices 3s (conv) / 3s+2 (PReLU) — the reference's
+    # hardcoded 0/3 and 2/5 for x4 (src/models.py:116-123), generalized to
+    # however many up_* stages the checkpoint carries (x2/x8 checkpoints
+    # export completely instead of KeyErroring on up_1 / silently dropping
+    # up_2; note the reference project itself only *loads* the x4 layout).
+    n_up = sum(1 for k in params if k.startswith("up_"))
+    if n_up == 0:
+        raise ValueError("no up_* stages in checkpoint — not a "
+                         "ResNetSR/AttentionSR params tree")
+    for s in range(n_up):
+        blk = params.get(f"up_{s}")
+        if blk is None:
+            raise ValueError(f"upsample stages not contiguous: up_{s} "
+                             f"missing among {n_up} up_* keys")
+        sd[f"upsample.{3 * s}.weight"] = _conv(blk["conv"]["conv"]["kernel"])
+        sd[f"upsample.{3 * s}.bias"] = _np(blk["conv"]["conv"]["bias"])
+        sd[f"upsample.{3 * s + 2}.weight"] = _prelu(blk["prelu"]["alpha"])
     return sd
 
 

@@ -48,6 +48,19 @@ def parse_args():
                    default=DEFAULTS["use_wandb"], nargs="?", const=True,
                    help="force W&B on/off (default: auto — on iff wandb is "
                         "importable; JSONL fallback otherwise)")
+    # Multi-host launch (run the same command on every host of the slice).
+    p.add_argument("--coordinator", type=str, default=DEFAULTS["coordinator"],
+                   help="host:port of process 0 for jax.distributed "
+                        "(with --num_processes/--process_id; or set "
+                        "JAX_COORDINATOR_ADDRESS etc.)")
+    p.add_argument("--num_processes", type=int,
+                   default=DEFAULTS["num_processes"])
+    p.add_argument("--process_id", type=int, default=DEFAULTS["process_id"])
+    p.add_argument("--distributed", type=str, default=DEFAULTS["distributed"],
+                   choices=["", "auto"],
+                   help="'auto': bare jax.distributed.initialize() — TPU "
+                        "pods autodetect coordinator/count/id, so a pod "
+                        "launch needs no per-host flags")
     return p.parse_args()
 
 
