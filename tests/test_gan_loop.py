@@ -25,8 +25,9 @@ def test_train_gan_end_to_end(tmp_path):
         "log_every": 2,
     }
     final = train(cfg)
-    assert set(final) == {"psnr", "ssim", "lpips", "nlpd"}
+    assert set(final) == {"psnr", "ssim", "lpips", "nlpd", "val_psnr"}
     assert final["psnr"] > 0.0
+    assert final["val_psnr"] > 0.0
     assert os.path.isdir(os.path.join(cfg["weights_dir"], "gan_test_best"))
     # GAN runs checkpoint the discriminator in the rolling full-state ckpt
     from food101_sr_tpu.training import load_checkpoint

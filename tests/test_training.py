@@ -206,7 +206,7 @@ def test_end_to_end_srcnn_x2_synthetic(tmp_path):
         "log_every": 1,
     }
     final = train(cfg)
-    assert set(final) == {"psnr", "ssim", "lpips", "nlpd"}
+    assert set(final) == {"psnr", "ssim", "lpips", "nlpd", "val_psnr"}
     # ~10 steps of SRCNN x2 from scratch: well above a garbage output
     # (threshold calibrated on CPU fp32 numerics, seed 0)
     assert final["psnr"] > 10.0
