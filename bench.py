@@ -215,8 +215,11 @@ def bench_train_step(batch: int = 128) -> float:
         train=False,
     )
     state = SRTrainState.create(dict(variables), make_adam(1e-4))
+    # donate the state exactly as the production loop does — without it XLA
+    # inserts params/opt-state copies (~10% of the step, round-2 trace)
     step = jax.jit(make_train_step(model, nlpd_loss, SCALE,
-                                   "input_conv", "output_conv"))
+                                   "input_conv", "output_conv"),
+                   donate_argnums=0)
     hr = jnp.asarray(np.random.default_rng(0).integers(
         0, 256, (batch, LR_SIZE * SCALE, LR_SIZE * SCALE, 3), dtype=np.uint8))
     total = jax.jit(jnp.sum)
