@@ -50,3 +50,14 @@ def test_model_runner_bucket_pads_and_crops(vis):
     assert sr.shape == (120, 180, 3)
     assert sr.dtype == np.uint8
     assert dt > 0
+
+
+def test_parse_weight_specs(vis):
+    assert vis.parse_weight_specs(None) is None
+    assert vis.parse_weight_specs([]) is None
+    assert vis.parse_weight_specs(
+        ["RESNET=weights/winner_resnet_best", "SRCNN=w/s"]
+    ) == {"RESNET": "weights/winner_resnet_best", "SRCNN": "w/s"}
+    for bad in ["RESNET", "=path", "NAME="]:
+        with pytest.raises(ValueError):
+            vis.parse_weight_specs([bad])

@@ -115,6 +115,20 @@ class ModelRunner:
         return (sr * 255.0 + 0.5).astype(np.uint8), dt
 
 
+def parse_weight_specs(specs):
+    """``["NAME=CKPT", ...]`` -> checkpoint mapping, or None to use the
+    default WEIGHTS table. Raises ValueError on a spec without '='."""
+    if not specs:
+        return None
+    out = {}
+    for spec in specs:
+        name, sep, path = spec.partition("=")
+        if not sep or not name or not path:
+            raise ValueError(f"--weights expects NAME=CKPT, got {spec!r}")
+        out[name] = path
+    return out
+
+
 def run_comparison(dataset="food101", data_root="./data",
                    num_examples=NUM_EXAMPLES, out_dir=OUTPUT_DIR,
                    bucket=True, seed=0, weights=None, tta=False,
@@ -225,7 +239,14 @@ if __name__ == "__main__":
     p.add_argument("--metrics", action="store_true",
                    help="also compute SSIM/LPIPS/NLPD per image + summary "
                         "(the reference report prints PSNR only)")
+    p.add_argument("--weights", action="append", default=None,
+                   metavar="NAME=CKPT",
+                   help="override the checkpoint mapping (repeatable), e.g. "
+                        "--weights RESNET=weights/winner_resnet_best; the "
+                        "architecture is inferred from NAME as in the "
+                        "default table")
     a = p.parse_args()
     run_comparison(a.dataset, a.data_root, a.num_examples, a.out_dir,
-                   bucket=not a.no_bucket, seed=a.seed, tta=a.self_ensemble,
-                   full_metrics=a.metrics)
+                   bucket=not a.no_bucket, seed=a.seed,
+                   weights=parse_weight_specs(a.weights),
+                   tta=a.self_ensemble, full_metrics=a.metrics)
