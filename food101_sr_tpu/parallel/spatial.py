@@ -50,6 +50,20 @@ RECEPTIVE_RADIUS = {
 }
 
 
+def receptive_radius(arch: str, model=None) -> int:
+    """Receptive-field radius (LR pixels) the halo must cover for exact
+    tiling. Depth-aware when ``model`` exposes ``num_residuals``: head
+    conv9 (4) + two conv3 per residual block (2*n) + mid conv3 + tail convs
+    at LR scale + margin -> ``2*n + 16``, which reproduces the table for
+    registry depths (16 -> 48, 32 -> 80) and stays exact for deeper
+    non-registry checkpoints (e.g. ``--architecture auto``), where the
+    fixed table would silently under-halo and produce seam artifacts."""
+    n_res = getattr(model, "num_residuals", None) if model is not None else None
+    if n_res is not None:
+        return 2 * int(n_res) + 16
+    return RECEPTIVE_RADIUS.get(arch, 80)
+
+
 def window_starts(size: int, tile: int, halo: int):
     """Clamped start offsets of ``tile + 2*halo`` windows covering ``size``."""
     n = math.ceil(size / tile)
@@ -162,7 +176,7 @@ def tiled_forward_for(
 ):
     """Convenience wrapper: jitted full-image SR via tiling for a registry
     model. Returns a fn (B, H, W, C) -> (B, H*s, W*s, C)."""
-    halo = RECEPTIVE_RADIUS.get(arch, 80) if halo is None else halo
+    halo = receptive_radius(arch, model) if halo is None else halo
     fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
 
     def run(images):

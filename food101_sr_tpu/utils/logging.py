@@ -19,21 +19,38 @@ except ImportError:  # pragma: no cover - exercised only where wandb exists
     _wandb = None
 
 
+def _process_index() -> int:
+    try:
+        import jax
+        return jax.process_index()
+    except Exception:  # pragma: no cover - jax-less or pre-init contexts
+        return 0
+
+
 class RunLogger:
     def __init__(self, config: Mapping[str, Any], name: Optional[str] = None,
                  use_wandb: Optional[bool] = None,
-                 run_dir: Optional[str] = None):
+                 run_dir: Optional[str] = None,
+                 primary: Optional[bool] = None):
         if run_dir is None:  # FOOD101_SR_RUN_DIR reroutes logs (tests -> tmp)
             run_dir = os.environ.get("FOOD101_SR_RUN_DIR", "runs")
         self.config = dict(config)
+        # Multi-host: exactly one process owns the run record. Every host
+        # runs the identical loop on replicated state, so process 0's log IS
+        # the run; letting each host append to the same shared-storage
+        # log.jsonl (or open its own W&B run) would duplicate every row.
+        if primary is None:
+            primary = _process_index() == 0
+        self.primary = bool(primary)
         use_wandb = (_wandb is not None) if use_wandb is None else use_wandb
+        use_wandb = use_wandb and self.primary
         self._wandb_run = None
         if use_wandb and _wandb is not None:
             self._wandb_run = _wandb.init(config=self.config, name=name)
             # sweep agents override config keys through wandb.init
             self.config = dict(self._wandb_run.config)
         self._fh = None
-        if self._wandb_run is None:
+        if self._wandb_run is None and self.primary:
             name = name or f"run_{int(time.time())}"
             path = os.path.join(run_dir, name)
             os.makedirs(path, exist_ok=True)
@@ -44,7 +61,7 @@ class RunLogger:
     def log(self, data: Mapping[str, Any]):
         if self._wandb_run is not None:
             self._wandb_run.log(dict(data))
-        else:
+        elif self._fh is not None:
             self._fh.write(json.dumps({k: _jsonable(v) for k, v in data.items()}) + "\n")
             self._fh.flush()
 

@@ -34,7 +34,7 @@ from PIL import Image
 from food101_sr_tpu.models import get_model
 from food101_sr_tpu.native import encode_jpeg_rgb8, encode_png_rgb8
 from food101_sr_tpu.ops import self_ensemble
-from food101_sr_tpu.parallel.spatial import RECEPTIVE_RADIUS, plan_windows
+from food101_sr_tpu.parallel.spatial import plan_windows, receptive_radius
 from food101_sr_tpu.training import load_checkpoint
 
 
@@ -221,14 +221,9 @@ class SRServer:
                 self.variables = variables  # random weights (smoke tests)
         self.arch = architecture
         # Halo must cover the receptive-field radius or tiling is no longer
-        # exact (seam artifacts). Residual nets: 4 (input conv9) + 2*n_res
-        # (two conv3 per block) + 1 (mid conv3) + ~3 (tail at LR scale)
-        # + margin -> 2*n_res + 16, which reproduces the RECEPTIVE_RADIUS
-        # table for the registry depths (16->48, 32->80) and stays exact
-        # for deeper --architecture auto checkpoints.
-        n_res = getattr(self.model, "num_residuals", None)
-        self.halo = (2 * int(n_res) + 16 if n_res is not None
-                     else RECEPTIVE_RADIUS.get(architecture, 80))
+        # exact (seam artifacts); depth-aware for --architecture auto
+        # checkpoints deeper than the registry shapes.
+        self.halo = receptive_radius(architecture, self.model)
         # uint8 in / uint8 out: ToTensor and the 255-quantization both run
         # on device, so host<->device traffic is 4x smaller than shipping
         # float32 either way (the PCIe/tunnel D2H link, not the MXU, is the

@@ -110,6 +110,10 @@ def run_asha(sweep_yaml: str, trials: int, seed: int = 0,
     with open(sweep_yaml) as f:
         sweep = yaml.safe_load(f)
     assert sweep["metric"]["name"] == "val_psnr"
+    if sweep.get("method") == "bayes":
+        print("ASHA note: the YAML declares method: bayes, but ASHA samples "
+              "its whole cohort up-front (random); run without --asha for "
+              "the sequential TPE sampler.")
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
 
@@ -208,7 +212,7 @@ if __name__ == "__main__":
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="generic config override (repeatable), e.g. "
                         "--set subset=1.0 --set batch_size=8")
-    p.add_argument("--method", default=None, choices=[None, "random", "bayes"],
+    p.add_argument("--method", default=None, choices=["random", "bayes"],
                    help="override the YAML's search method (default: honor "
                         "it — 'bayes' runs the local TPE sampler)")
     p.add_argument("--asha", action="store_true",
@@ -232,6 +236,12 @@ if __name__ == "__main__":
         except json.JSONDecodeError:
             overrides[k] = v
     if a.asha:
+        # ASHA samples its whole cohort up-front (there is no sequential
+        # history for TPE to fit), so a sampler override is meaningless.
+        if a.method == "bayes":
+            p.error("--method bayes is incompatible with --asha: ASHA's "
+                    "trial cohort is sampled up-front; drop --asha to use "
+                    "the sequential TPE sampler")
         run_asha(a.sweep_yaml, a.trials, a.seed, overrides,
                  eta=a.eta, rung_epochs=a.rung_epochs)
     else:

@@ -96,3 +96,10 @@ def test_two_process_training(tmp_path):
                for out in outs), outs[0][-2000:]
     # process-0-only checkpointing: exactly one writer, no Orbax collision
     assert (wdir / "mh_best").is_dir()
+    # process-0-only run logging: one log dir, one _config row, one copy of
+    # each epoch row (both hosts appending would double every entry)
+    log_files = list(rundir.glob("*/log.jsonl"))
+    assert len(log_files) == 1, log_files
+    rows = [json.loads(l) for l in log_files[0].read_text().splitlines()]
+    assert sum(1 for r in rows if "_config" in r) == 1
+    assert sum(1 for r in rows if "val_psnr" in r) == 1

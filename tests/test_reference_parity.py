@@ -9,9 +9,6 @@ validates the exporter's tensor layout AND the forward math against the
 reference's own classes (reference src/models.py:80-217), registry
 hyperparams included (src/models.py:219-227).
 """
-import importlib.util
-import sys
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,20 +17,12 @@ import torch
 
 from food101_sr_tpu.models import Discriminator, get_model
 from tools.export_sr_checkpoint import export_state_dict
+from tools.reference_import import load_reference_models
 
 torch.manual_seed(0)
 
 
-def _load_reference_models():
-    spec = importlib.util.spec_from_file_location(
-        "ref_models", "/root/reference/src/models.py")
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules["ref_models"] = mod
-    spec.loader.exec_module(mod)
-    return mod
-
-
-ref_models = _load_reference_models()
+ref_models = load_reference_models()
 
 
 def _rand_stats(variables, seed):

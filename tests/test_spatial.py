@@ -81,3 +81,19 @@ def test_tiled_rejects_nondivisible():
     fwd = lambda x: model.apply(variables, x, train=False)
     with pytest.raises(ValueError):
         tiled_apply(fwd, _img(1, 60, 64), scale=2, tile=16, halo=4)
+
+
+def test_receptive_radius_depth_aware():
+    """Non-registry depths get an exact depth-derived halo (a fixed table
+    would silently under-halo deeper --architecture auto checkpoints)."""
+    from food101_sr_tpu.parallel import receptive_radius
+
+    # registry shapes reproduce the table
+    assert receptive_radius("SRCNN") == 8
+    assert receptive_radius("RESNET", get_model("RESNET")) == 48
+    assert receptive_radius("AttentionSR", get_model("AttentionSR")) == 80
+    # a 40-block variant needs more than the table's fallback of 80
+    deep = ResNetSR(scale_factor=4, num_residuals=40, num_channels=8)
+    assert receptive_radius("RESNET", deep) == 96
+    # SRCNN has no num_residuals -> table entry, not the generic fallback
+    assert receptive_radius("SRCNN", get_model("SRCNN")) == 8

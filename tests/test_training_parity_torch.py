@@ -15,10 +15,6 @@ reference train.py:117-120). Gradients cross frameworks through the
 production exporter's tensor-layout mapping (tools/export_sr_checkpoint),
 so every trainable leaf is compared by its reference state_dict name.
 """
-import importlib.util
-import sys
-import types
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,33 +28,13 @@ from food101_sr_tpu.models import AttentionSR, ResNetSR, get_model
 from food101_sr_tpu.training.state import SRTrainState
 from food101_sr_tpu.training.steps import make_train_step
 from tools.export_sr_checkpoint import export_state_dict
+from tools.reference_import import load_reference_losses, load_reference_models
 
 torch.manual_seed(0)
 
 
-def _import_reference(path, name):
-    spec = importlib.util.spec_from_file_location(name, path)
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules[name] = mod
-    spec.loader.exec_module(mod)
-    return mod
-
-
-ref_models = _import_reference("/root/reference/src/models.py",
-                               "ref_models_tp")
-
-# reference src/loss.py does `from torchvision.models import vgg19` at
-# module top; torchvision isn't installed here. NLPDLoss/TVLoss don't touch
-# it, so a stub lets the REAL loss module import (PerceptualLoss would only
-# fail if instantiated).
-if "torchvision" not in sys.modules:
-    tv = types.ModuleType("torchvision")
-    tvm = types.ModuleType("torchvision.models")
-    tvm.vgg19 = None
-    tv.models = tvm
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.models"] = tvm
-ref_loss = _import_reference("/root/reference/src/loss.py", "ref_loss_tp")
+ref_models = load_reference_models()
+ref_loss = load_reference_losses()
 
 
 def _torch_criterion(name):

@@ -65,9 +65,12 @@ def time_train_step(channels: int, batch: int, lr_size: int = 50,
     total = jax.jit(jnp.sum)
 
     t = time.perf_counter()
-    lowered = step.lower(state, hr)
-    compiled = lowered.compile()
-    state, m = step(state, hr)
+    # AOT-compile once and execute THROUGH the compiled executable: a plain
+    # step(state, hr) call would not hit jit's dispatch cache (lower().
+    # compile() does not seed it) and would trigger a second full
+    # trace+compile — through the axon tunnel that can cost minutes.
+    compiled = step.lower(state, hr).compile()
+    state, m = compiled(state, hr)
     float(total(m["train_loss"]))
     log(f"[{channels}ch] compile+warmup: {time.perf_counter() - t:.1f}s")
     try:
@@ -82,7 +85,7 @@ def time_train_step(channels: int, batch: int, lr_size: int = 50,
         for _ in range(repeats):
             t0 = time.perf_counter()
             for _ in range(n):
-                state, m = step(state, hr)
+                state, m = compiled(state, hr)
             float(total(m["train_loss"]))
             best = min(best, time.perf_counter() - t0)
         return best
@@ -93,7 +96,7 @@ def time_train_step(channels: int, batch: int, lr_size: int = 50,
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
         for _ in range(3):
-            state, m = step(state, hr)
+            state, m = compiled(state, hr)
         float(total(m["train_loss"]))
         jax.profiler.stop_trace()
         log(f"trace -> {profile_dir}")

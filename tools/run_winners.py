@@ -51,11 +51,16 @@ def main():
     p.add_argument("--out", default="runs/winners_summary.json")
     args = p.parse_args()
 
+    selected = [cfg for cfg in WINNERS
+                if not args.only or cfg["architecture"] == args.only]
+    if not selected:
+        names = ", ".join(c["architecture"] for c in WINNERS)
+        p.error(f"--only {args.only!r} matches no winner config "
+                f"(exact names: {names})")
+
     results = {}
-    for cfg in WINNERS:
+    for cfg in selected:
         arch = cfg["architecture"]
-        if args.only and arch != args.only:
-            continue
         run = {
             **cfg,
             "dataset": args.dataset,

@@ -15,7 +15,6 @@ visualize.py:24-29 metric) on held-out images from the same tree.
 from __future__ import annotations
 
 import argparse
-import importlib.util
 import os
 import sys
 
@@ -23,14 +22,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def _import_reference_models():
-    spec = importlib.util.spec_from_file_location(
-        "ref_models_vwe", "/root/reference/src/models.py")
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules["ref_models_vwe"] = mod
-    spec.loader.exec_module(mod)
-    return mod
+from tools.reference_import import load_reference_models  # noqa: E402
 
 
 def main():
@@ -58,6 +50,7 @@ def main():
     from food101_sr_tpu.models import detect_architecture, model_for_params
     from food101_sr_tpu.training import load_checkpoint
     from tools.export_sr_checkpoint import export_state_dict
+    from visualize import calculate_psnr  # the reference's 255-range PSNR
 
     tree = load_checkpoint(args.checkpoint)
     params, extra = tree["params"], tree.get("extra", {})
@@ -67,7 +60,7 @@ def main():
 
     # production exporter -> reference model, strict load
     sd, _ = export_state_dict({"params": params, "extra": extra}, arch)
-    ref_models = _import_reference_models()
+    ref_models = load_reference_models()
     ref = ref_models.get_model(arch, scale_factor=args.scale, device="cpu")
     ref.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
                          for k, v in sd.items()}, strict=True)
@@ -77,10 +70,6 @@ def main():
     src = Food101Source(args.data_root, args.split)
     rng = np.random.default_rng(0)
     n = min(args.num_images, len(src))
-
-    def psnr255(a, b):
-        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-        return 100.0 if mse == 0 else 20 * np.log10(255.0 / np.sqrt(mse))
 
     worst, psnrs_ours, psnrs_ref = 0.0, [], []
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
@@ -97,8 +86,8 @@ def main():
         to_u8 = lambda x: np.clip(np.asarray(x) * 255 + 0.5, 0,
                                   255).astype(np.uint8)
         hr_img = to_u8(np.asarray(hr)[0])
-        psnrs_ours.append(psnr255(to_u8(ours), hr_img))
-        psnrs_ref.append(psnr255(to_u8(theirs), hr_img))
+        psnrs_ours.append(calculate_psnr(to_u8(ours), hr_img))
+        psnrs_ref.append(calculate_psnr(to_u8(theirs), hr_img))
 
     d_psnr = float(np.abs(np.mean(psnrs_ours) - np.mean(psnrs_ref)))
     print(f"{n} images: max |ours - torch| = {worst:.2e}; "
