@@ -1,0 +1,53 @@
+"""CLI-level smoke for tools/convergence_parity.py — the convergence-scale
+torch-vs-ours parity harness (reference train.py:21-197 control flow on the
+torch side, production train() on ours). A 1-epoch run on a tiny tree
+can't make a convergence claim (so no tolerance assert here; the committed
+evidence lives in runs/convergence_parity.json); this pins that the
+harness itself runs end-to-end and reports all the fields the claim needs.
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_convergence_parity_tool_end_to_end(tmp_path):
+    tree = tmp_path / "tree"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/make_fake_food101.py"),
+         str(tree), "--train", "48", "--test", "16"],
+        check=True, cwd=REPO, capture_output=True)
+    out = tmp_path / "parity.json"
+    # strip the conftest's 8-virtual-device XLA_FLAGS: an 8-device mesh
+    # needs batch multiples of 8 that this tiny tree can't fill (--cpu
+    # handles the platform; the axon plugin ignores the env var anyway)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["FOOD101_SR_RUN_DIR"] = str(tmp_path / "runs")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/convergence_parity.py"),
+         "--data_root", str(tree), "--architecture", "SRCNN",
+         "--loss", "mse", "--epochs", "1", "--seeds", "1",
+         "--crop_size", "48", "--batch_size", "8", "--cpu",
+         # 1 epoch is noise, not convergence: disable the verdict gate
+         "--tolerance", "1e9", "--out", str(out)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    summary = json.loads(out.read_text())
+    assert summary["ok"]
+    assert summary["torch"]["epochs_ran"] == 1
+    assert len(summary["ours"]) == 1
+    for side in (summary["torch"], summary["ours"][0]):
+        assert 0.0 < side["test_psnr"] < 100.0
+    # --skip_torch reuses the recorded torch leg (fast re-check path)
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/convergence_parity.py"),
+         "--data_root", str(tree), "--architecture", "SRCNN",
+         "--loss", "mse", "--epochs", "1", "--seeds", "1",
+         "--crop_size", "48", "--batch_size", "8", "--cpu",
+         "--tolerance", "1e9", "--skip_torch", "--out", str(out)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert r2.returncode == 0, r2.stdout[-2000:] + r2.stderr[-2000:]
+    assert "reusing" in r2.stdout
