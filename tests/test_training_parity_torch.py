@@ -218,3 +218,170 @@ def test_sgd_trajectory_and_eval_parity(arch, loss_name):
     with torch.no_grad():
         want = np.transpose(ref(lr_t).numpy(), (0, 2, 3, 1))
     np.testing.assert_allclose(ours, want, atol=5e-4, rtol=1e-3)
+
+
+def test_gan_generator_step_parity(tmp_path):
+    """One production GAN generator step (make_gan_g_step: composite
+    pixel+perceptual+adversarial+TV loss, grad-clip 1.0, train-mode D with
+    spectral-norm power iteration threaded through both forwards) vs the
+    reference's G update (reference train.py:104-114) with shared G, D,
+    and VGG weights. SGD on both sides so the post-step param delta IS the
+    clipped gradient (CLAUDE.md numerics rule); pins the loss weights, the
+    relativistic adv term's stop-gradient/.detach() placement, the
+    D-forward ordering (fake then real), and the clip wiring."""
+    import torch.nn.functional as F
+
+    from test_feature_nets_torch import torch_vgg19_features35
+
+    from food101_sr_tpu.models import Discriminator
+    from food101_sr_tpu.training.diagnostics import FIRST_LAST
+    from food101_sr_tpu.training.steps import make_gan_g_step
+    from tools.convert_torch_weights import features_to_arrays
+
+    lr = 1e-3
+    g_model, g_vars, g_ref = _init_and_share("SRCNN", seed=2)
+
+    d_model = Discriminator(nf=16)
+    d_vars = d_model.init({"params": jax.random.PRNGKey(3)},
+                          jnp.zeros((1, 32, 32, 3), jnp.float32), train=False)
+    d_ref = ref_models.Discriminator(nf=16)
+    sd, _ = export_state_dict(
+        {"params": d_vars["params"],
+         "extra": {k: v for k, v in d_vars.items() if k != "params"}},
+        "Discriminator")
+    d_ref.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                           for k, v in sd.items()}, strict=True)
+
+    # shared-weight VGG19[:35] perceptual (structure parity has its own
+    # tests; here it rides inside the composite loss)
+    tvgg = torch_vgg19_features35()
+    np.savez(tmp_path / "vgg19_features.npz", **features_to_arrays(tvgg))
+    percep = get_loss_function("perceptual", weights_dir=str(tmp_path))
+    assert percep.pretrained
+
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.clip_by_global_norm(1.0), optax.sgd(learning_rate)
+        ))(learning_rate=lr)
+    g_state = SRTrainState.create(dict(g_vars), tx)
+    d_state = SRTrainState.create(dict(d_vars), optax.sgd(lr))
+    first, last = FIRST_LAST["SRCNN"]
+    g_step = jax.jit(make_gan_g_step(g_model, d_model, percep, 4,
+                                     first, last))
+
+    hr_u8 = _batches(1, batch=2, crop=32, seed=7)[0]
+    new_g, _, metrics = g_step(g_state, d_state, jnp.asarray(hr_u8))
+
+    # --- the reference's G update, verbatim formulas ---------------------
+    g_ref.train()
+    d_ref.train()
+    opt = torch.optim.SGD(g_ref.parameters(), lr=lr)
+    lr_t, hr_t = _torch_pair(hr_u8)
+    opt.zero_grad()
+    fake = g_ref(lr_t)
+    fake_logits = d_ref(fake)
+    real_logits = d_ref(hr_t).detach()
+    loss_adv = F.binary_cross_entropy_with_logits(
+        fake_logits - real_logits.mean(), torch.ones_like(fake_logits))
+    loss_pixel = F.l1_loss(fake, hr_t)
+    loss_percep = F.mse_loss(tvgg(fake), tvgg(hr_t))
+    loss_tv = ref_loss.TVLoss(tv_loss_weight=1)(fake)
+    loss = (1e-2 * loss_pixel + 1.0 * loss_percep + 1e-5 * loss_adv
+            + 2e-5 * loss_tv)
+    loss.backward()
+    torch.nn.utils.clip_grad_norm_(g_ref.parameters(), max_norm=1.0)
+    opt.step()
+
+    np.testing.assert_allclose(float(metrics["train_loss"]), float(loss),
+                               rtol=2e-4, err_msg="composite G loss")
+    # post-step G params leaf-by-leaf through the production exporter
+    got, _ = export_state_dict(
+        {"params": new_g.params,
+         "extra": {k: v for k, v in new_g.extra.items()}}, "SRCNN")
+    want = g_ref.state_dict()
+    assert set(got) == set(want)
+    for k in sorted(want):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), want[k].numpy(), atol=2e-6, rtol=2e-4,
+            err_msg=f"post-G-step {k}")
+
+
+def test_gan_discriminator_step_parity():
+    """One production GAN discriminator step (make_gan_d_step: relativistic
+    average BCE, 0.9/0.1 label smoothing, real-then-fake forward ordering
+    with spectral-norm power iteration threaded through) vs the reference's
+    D update (reference train.py:87-101), shared weights, SGD both sides.
+    Instance noise is sigma=0 on both sides — its RNG cannot be shared
+    across frameworks; the noise helper itself is covered by the D-loss
+    formula golden in test_training.py. SRCNN generator: the reference
+    computes `fake` through a train-mode G where we use eval-mode — for
+    BN-free SRCNN the two are identical, isolating the D math."""
+    import torch.nn.functional as F
+
+    from food101_sr_tpu.models import Discriminator
+    from food101_sr_tpu.training.steps import make_gan_d_step
+
+    lr = 1e-3
+    g_model, g_vars, g_ref = _init_and_share("SRCNN", seed=4)
+    d_model = Discriminator(nf=16)
+    d_vars = d_model.init({"params": jax.random.PRNGKey(5)},
+                          jnp.zeros((1, 32, 32, 3), jnp.float32), train=False)
+    d_ref = ref_models.Discriminator(nf=16)
+    sd, _ = export_state_dict(
+        {"params": d_vars["params"],
+         "extra": {k: v for k, v in d_vars.items() if k != "params"}},
+        "Discriminator")
+    d_ref.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                           for k, v in sd.items()}, strict=True)
+
+    g_state = SRTrainState.create(dict(g_vars), optax.sgd(lr))
+    d_state = SRTrainState.create(
+        dict(d_vars),
+        optax.inject_hyperparams(
+            lambda learning_rate: optax.sgd(learning_rate)
+        )(learning_rate=lr))
+    d_step = jax.jit(make_gan_d_step(g_model, d_model, 4, noise_sigma=0.0))
+
+    hr_u8 = _batches(1, batch=2, crop=32, seed=13)[0]
+    new_d, metrics = d_step(g_state, d_state, jnp.asarray(hr_u8),
+                            jax.random.PRNGKey(0))
+
+    d_ref.train()
+    opt = torch.optim.SGD(d_ref.parameters(), lr=lr)
+    lr_t, hr_t = _torch_pair(hr_u8)
+    with torch.no_grad():
+        fake = g_ref.eval()(lr_t)
+    opt.zero_grad()
+    real_logits = d_ref(hr_t)
+    fake_logits = d_ref(fake)
+    d_loss_real = F.binary_cross_entropy_with_logits(
+        real_logits - fake_logits.mean(),
+        torch.full_like(real_logits, 0.9))
+    d_loss_fake = F.binary_cross_entropy_with_logits(
+        fake_logits - real_logits.mean(),
+        torch.full_like(fake_logits, 0.1))
+    loss = (d_loss_real + d_loss_fake) / 2
+    loss.backward()
+    opt.step()
+
+    np.testing.assert_allclose(float(metrics["train_loss_D"]),
+                               float(loss.detach()), rtol=2e-4)
+    np.testing.assert_allclose(
+        float(metrics["gan_dynamics/prob_real"]),
+        float(torch.sigmoid(real_logits).mean()), rtol=2e-4)
+    np.testing.assert_allclose(
+        float(metrics["gan_dynamics/prob_fake"]),
+        float(torch.sigmoid(fake_logits).mean()), rtol=2e-4)
+    got, _ = export_state_dict(
+        {"params": new_d.params, "extra": dict(new_d.extra)}, "Discriminator")
+    want = d_ref.state_dict()
+    assert set(got) == set(want)
+    for k in sorted(want):
+        if k.endswith("num_batches_tracked"):
+            # torch-only bookkeeping, consumed only under momentum=None
+            # (cumulative averaging) which the reference never uses; the
+            # exporter emits a constant placeholder for load compatibility
+            continue
+        np.testing.assert_allclose(
+            np.asarray(got[k]), want[k].numpy(), atol=2e-6, rtol=2e-4,
+            err_msg=f"post-D-step {k}")
