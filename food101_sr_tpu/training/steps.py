@@ -135,7 +135,13 @@ def add_noise(rng, img, sigma: float = 0.15):
 
 def make_gan_d_step(g_model, d_model, scale: int, noise_sigma: float = 0.2):
     """Discriminator step: relativistic average BCE with label smoothing
-    0.9/0.1 and instance noise on both inputs (reference train.py:87-101)."""
+    0.9/0.1 and instance noise on both inputs (reference train.py:87-101).
+
+    Deliberate deviation: ``fake`` comes from an eval-mode G forward. The
+    reference's train-mode ``model(lr_imgs).detach()`` also mutates G's BN
+    running stats as a side effect of the D step; here the D step leaves G
+    untouched (only the G step advances G state), which keeps the two
+    steps independent and the BN update count equal to the G update count."""
 
     def d_step(g_state: SRTrainState, d_state: SRTrainState,
                hr_u8: jnp.ndarray, rng: jax.Array):
