@@ -36,18 +36,41 @@ EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
 
 
 def collect_inputs(patterns):
-    paths = []
+    """(paths, empty_patterns): every input that matched nothing is
+    reported — silently dropping a typoed directory while other inputs
+    match would let a run claim success on a fraction of the request."""
+    paths, empty = [], []
     for pat in patterns:
         if os.path.isdir(pat):
+            hits = []
             for root, _, files in os.walk(pat):
-                paths.extend(os.path.join(root, f) for f in files
-                             if os.path.splitext(f)[1].lower() in EXTS)
+                hits.extend(os.path.join(root, f) for f in files
+                            if os.path.splitext(f)[1].lower() in EXTS)
         else:
             hits = glob.glob(pat)
             if not hits and os.path.splitext(pat)[1].lower() in EXTS:
                 hits = [pat]  # let the open() below report the miss
-            paths.extend(hits)
-    return sorted(dict.fromkeys(paths))  # stable order, deduped
+        if not hits:
+            empty.append(pat)
+        paths.extend(hits)
+    return sorted(dict.fromkeys(paths)), empty  # stable order, deduped
+
+
+def output_names(paths, suffix, ext):
+    """Collision-free output filename per input. Recursive walks can yield
+    duplicate stems (a/cat.png, b/cat.png) — last-writer-wins overwrites
+    would silently drop results, so duplicates get _2, _3, ... in input
+    order."""
+    names, used = {}, set()
+    for path in paths:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        name, n = stem + suffix + ext, 2
+        while name in used:
+            name = f"{stem}_{n}{suffix}{ext}"
+            n += 1
+        used.add(name)
+        names[path] = name
+    return names
 
 
 def main():
@@ -76,7 +99,9 @@ def main():
                    help="precompile shape buckets before timing")
     args = p.parse_args()
 
-    paths = collect_inputs(args.inputs)
+    paths, empty = collect_inputs(args.inputs)
+    if empty:
+        p.error(f"these inputs matched no images: {empty!r}")
     if not paths:
         p.error(f"no images found under {args.inputs!r}")
     os.makedirs(args.out_dir, exist_ok=True)
@@ -92,13 +117,13 @@ def main():
 
     suffix = args.suffix.format(scale=server.scale)
     ext = ".png" if args.format == "png" else ".jpg"
+    names = output_names(paths, suffix, ext)
 
     def run_one(path):
         try:
             img = Image.open(path)
             out = np.asarray(server.upscale(img))
-            stem = os.path.splitext(os.path.basename(path))[0]
-            dst = os.path.join(args.out_dir, stem + suffix + ext)
+            dst = os.path.join(args.out_dir, names[path])
             payload = (encode_png_rgb8(out, level=1)
                        if args.format == "png"
                        else encode_jpeg_rgb8(out, quality=args.jpeg_quality))

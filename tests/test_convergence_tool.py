@@ -31,6 +31,7 @@ def test_convergence_parity_tool_end_to_end(tmp_path):
          "--data_root", str(tree), "--architecture", "SRCNN",
          "--loss", "mse", "--epochs", "1", "--seeds", "1",
          "--crop_size", "48", "--batch_size", "8", "--cpu",
+         "--weights_dir", str(tmp_path / "w"),
          # 1 epoch is noise, not convergence: disable the verdict gate
          "--tolerance", "1e9", "--out", str(out)],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
@@ -47,7 +48,22 @@ def test_convergence_parity_tool_end_to_end(tmp_path):
          "--data_root", str(tree), "--architecture", "SRCNN",
          "--loss", "mse", "--epochs", "1", "--seeds", "1",
          "--crop_size", "48", "--batch_size", "8", "--cpu",
+         "--weights_dir", str(tmp_path / "w"),
          "--tolerance", "1e9", "--skip_torch", "--out", str(out)],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
     assert r2.returncode == 0, r2.stdout[-2000:] + r2.stderr[-2000:]
     assert "reusing" in r2.stdout
+    # our-side checkpoints went to --weights_dir, not the repo
+    assert (tmp_path / "w" / "convpar_SRCNN_mse_s0_best").is_dir()
+    # --skip_torch refuses a record from a DIFFERENT leg (a stale torch
+    # number must never produce a mislabeled verdict)
+    r3 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/convergence_parity.py"),
+         "--data_root", str(tree), "--architecture", "RESNET",
+         "--loss", "mse", "--epochs", "1", "--seeds", "1",
+         "--crop_size", "48", "--batch_size", "8", "--cpu",
+         "--weights_dir", str(tmp_path / "w"),
+         "--tolerance", "1e9", "--skip_torch", "--out", str(out)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert r3.returncode != 0
+    assert "different config" in r3.stderr

@@ -27,10 +27,24 @@ def test_collect_inputs_dirs_globs_dedup(tmp_path):
     _write_png(d / "a.png", 8, 8)
     _write_png(d / "sub" / "b.jpg", 8, 8)
     (d / "notes.txt").write_text("not an image")
-    paths = predict.collect_inputs([str(d), str(d / "a.png"),
-                                    str(d / "*.png")])
+    paths, empty = predict.collect_inputs([str(d), str(d / "a.png"),
+                                           str(d / "*.png")])
     names = [Path(p).name for p in paths]
     assert names == ["a.png", "b.jpg"]  # recursed, filtered, deduped, sorted
+    assert empty == []
+    # a typoed directory among matching inputs is REPORTED, not dropped
+    _, empty = predict.collect_inputs([str(d), str(d / "nope_dir")])
+    assert empty == [str(d / "nope_dir")]
+
+
+def test_output_names_disambiguate_duplicate_stems():
+    names = predict.output_names(
+        ["a/cat.png", "b/cat.png", "c/cat.jpg", "dog.png"], "_x4", ".png")
+    assert names["a/cat.png"] == "cat_x4.png"
+    assert names["b/cat.png"] == "cat_2_x4.png"
+    assert names["c/cat.jpg"] == "cat_3_x4.png"
+    assert names["dog.png"] == "dog_x4.png"
+    assert len(set(names.values())) == 4
 
 
 def test_predict_end_to_end_small_and_tiled(tmp_path, capsys, monkeypatch):

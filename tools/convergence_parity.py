@@ -193,6 +193,7 @@ def train_reference_torch(args):
 def train_ours(args, seed):
     from food101_sr_tpu.training import train
 
+    tag = f"convpar_{args.architecture}_{args.loss}_s{seed}"
     final = train(config={
         "architecture": args.architecture,
         "batch_size": args.batch_size,
@@ -206,8 +207,9 @@ def train_ours(args, seed):
         "crop_size": args.crop_size,
         "scale_factor": args.scale,
         "seed": seed,
-        "save_name": f"convpar_s{seed}",
-        "run_name": f"convpar_s{seed}",
+        "weights_dir": args.weights_dir,
+        "save_name": tag,
+        "run_name": tag,
         "use_wandb": False,
     })
     return {"test_psnr": float(final["psnr"]),
@@ -234,6 +236,10 @@ def main():
                         "short budgets wiggle)")
     p.add_argument("--skip_torch", action="store_true",
                    help="reuse the torch result from --out")
+    p.add_argument("--weights_dir", default="weights",
+                   help="where our side's checkpoints land (legs are named "
+                        "convpar_<arch>_<loss>_s<seed> so legs don't "
+                        "clobber each other)")
     p.add_argument("--cpu", action="store_true",
                    help="run OUR side on CPU (the axon TPU plugin ignores "
                         "the JAX_PLATFORMS env var; only the config route "
@@ -252,7 +258,18 @@ def main():
         with open(args.out) as f:
             prior = json.load(f)
 
+    cfg_keys = ("architecture", "loss", "epochs", "batch_size", "lr",
+                "crop_size", "scale", "patience")
+    cfg_now = {k: getattr(args, k) for k in cfg_keys}
     if args.skip_torch and "torch" in prior:
+        # a stale record from a different leg would silently produce a
+        # mislabeled verdict (e.g. RESNET ours vs an SRCNN torch number)
+        cfg_prior = prior.get("config", {})
+        if cfg_prior != cfg_now:
+            drift = {k: (cfg_prior.get(k), cfg_now[k]) for k in cfg_keys
+                     if cfg_prior.get(k) != cfg_now[k]}
+            p.error(f"--skip_torch: {args.out} was recorded with a "
+                    f"different config (prior vs now): {drift}")
         ref = prior["torch"]
         print(f"[torch] reusing {args.out}: test PSNR {ref['test_psnr']:.3f}")
     else:
@@ -265,9 +282,7 @@ def main():
     gap = abs(ref["test_psnr"] - mean_ours)
     ok = gap <= args.tolerance + band / 2
     summary = {
-        "config": {k: getattr(args, k) for k in
-                   ("architecture", "loss", "epochs", "batch_size", "lr",
-                    "crop_size", "scale", "patience")},
+        "config": cfg_now,
         "torch": ref,
         "ours": ours,
         "ours_mean_test_psnr": mean_ours,
