@@ -5,11 +5,14 @@ from .loop import DEFAULTS, train
 from .schedule import EarlyStopping, ReduceLROnPlateau
 from .state import SRTrainState, make_adam
 from .steps import (
+    add_grads,
     add_noise,
+    make_accum_apply,
     make_eval_step,
     make_forward,
     make_gan_d_step,
     make_gan_g_step,
+    make_grad_step,
     make_train_step,
 )
 
@@ -18,7 +21,9 @@ __all__ = [
     "EarlyStopping",
     "ReduceLROnPlateau",
     "SRTrainState",
+    "add_grads",
     "add_noise",
+    "make_accum_apply",
     "load_checkpoint",
     "load_train_checkpoint",
     "make_adam",
@@ -26,6 +31,7 @@ __all__ = [
     "make_forward",
     "make_gan_d_step",
     "make_gan_g_step",
+    "make_grad_step",
     "make_train_step",
     "save_checkpoint",
     "save_train_checkpoint",

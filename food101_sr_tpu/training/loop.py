@@ -51,10 +51,13 @@ from .diagnostics import FIRST_LAST
 from .schedule import EarlyStopping, ReduceLROnPlateau
 from .state import SRTrainState, make_adam
 from .steps import (
+    add_grads,
+    make_accum_apply,
     make_eval_step,
     make_forward,
     make_gan_d_step,
     make_gan_g_step,
+    make_grad_step,
     make_train_step,
 )
 
@@ -86,6 +89,9 @@ DEFAULTS: dict[str, Any] = {
     "profile_dir": "runs/profile",
     "ema": 0.0,                 # >0: EMA decay for generator params; EMA
                                 # weights are validated and checkpointed
+    "grad_accum": 1,            # k>1: each update = k sequential microbatches
+                                # of batch_size/k (same math, 1/k activation
+                                # HBM; supervised losses only)
     # Multi-host launch (parallel/distributed.py): same command on every
     # host; the mesh then spans all processes' devices and the loader
     # feeds each host its interleaved slice of the global batch.
@@ -150,12 +156,31 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
           f"Test={len(test_idx)}")
 
     batch = int(cfg["batch_size"])
+    accum = max(int(cfg.get("grad_accum", 1) or 1), 1)
+    if accum > 1:
+        if is_gan:
+            raise ValueError(
+                "--grad_accum applies to supervised losses only (the GAN "
+                "branch alternates two optimizers on the reference's 5-step "
+                "cadence; accumulate there by lowering d_update_every "
+                "instead)")
+        if batch % accum:
+            raise ValueError(
+                f"batch_size={batch} must be divisible by grad_accum={accum}")
+        if (batch // accum) % n_dev:
+            raise ValueError(
+                f"microbatch {batch}/{accum}={batch // accum} must stay a "
+                f"multiple of the {n_dev}-device mesh for an even shard")
+    micro = batch // accum
 
     def _loader(source, indices, train):
         # Loaders drop the remainder (static shapes for jit); clamp the eval
         # batch so tiny subsets still yield at least one full batch. Keep it
-        # a multiple of the mesh size so the shard is even.
-        b = min(batch, max(len(indices) // n_dev * n_dev, n_dev)) if not train else batch
+        # a multiple of the mesh size so the shard is even. The train loader
+        # yields microbatches (= batch/grad_accum); sample order and augment
+        # RNG are position-keyed, so grouping k of them back into one update
+        # sees exactly the samples the unsplit batch would.
+        b = micro if train else min(batch, max(len(indices) // n_dev * n_dev, n_dev))
         return SRDataLoader(source, indices, crop_size=crop, batch_size=b,
                             train=train, sharding=shard, seed=cfg["seed"])
 
@@ -198,6 +223,13 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
         make_train_step(model, criterion, scale, first, last,
                         ema_decay=ema_decay), donate_argnums=0
     )
+    if accum > 1:
+        grad_step = jax.jit(make_grad_step(model, criterion, scale))
+        grad_add = jax.jit(add_grads, donate_argnums=0)
+        accum_apply = jax.jit(
+            make_accum_apply(accum, first, last, ema_decay=ema_decay),
+            donate_argnums=(0, 1),
+        )
     eval_step = jax.jit(make_eval_step(model, criterion, scale))
 
     d_state_raw = d_step = g_gan_step = None
@@ -267,10 +299,29 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
                         jax.random.fold_in(noise_rng, epoch), batch_idx)
                     d_state, d_metrics = d_step(g_state, d_state, hr_u8, sub)
                 g_state, d_state, metrics = g_gan_step(g_state, d_state, hr_u8)
-            else:
+                logical_idx = batch_idx
+            elif accum == 1:
                 g_state, metrics = train_step(g_state, hr_u8)
+                logical_idx = batch_idx
+            else:
+                # --grad_accum: k loader microbatches -> one guarded update.
+                # Mutable collections thread through the group; a trailing
+                # partial group at epoch end is dropped (drop-remainder
+                # semantics, same as the loaders').
+                if batch_idx % accum == 0:
+                    acc_extra, grads_sum, loss_sum = g_state.extra, None, None
+                loss_i, g_i, acc_extra = grad_step(g_state.params, acc_extra,
+                                                   hr_u8)
+                grads_sum = g_i if grads_sum is None else grad_add(grads_sum, g_i)
+                loss_sum = loss_i if loss_sum is None else loss_sum + loss_i
+                if batch_idx % accum != accum - 1:
+                    continue  # mid-group: no update, no metrics to log
+                g_state, metrics = accum_apply(g_state, grads_sum, acc_extra,
+                                               loss_sum)
+                grads_sum = None
+                logical_idx = batch_idx // accum
 
-            if batch_idx % int(cfg["log_every"]) == 0:
+            if logical_idx % int(cfg["log_every"]) == 0:
                 log_data = {k: float(v) for k, v in metrics.items()}
                 log_data.update({k: float(v) for k, v in d_metrics.items()})
                 logger.log(log_data)

@@ -64,6 +64,29 @@ def _finite_guard(loss, gnorm):
     return jnp.isfinite(loss) & jnp.isfinite(gnorm)
 
 
+def _finalize_update(state: SRTrainState, grads, new_extra, loss,
+                     first_path: str, last_path: str,
+                     ema_decay: float | None):
+    """Shared tail of every supervised update: dynamics diagnostics
+    (reference src/utils.py:5-38 keys), non-finite guard, guarded Adam
+    apply (+ optional params EMA)."""
+    lr_val = state.learning_rate
+    gnorm = grad_norm(grads)
+    ok = _finite_guard(loss, gnorm)
+    metrics = {
+        "train_loss": loss,
+        "dynamics/grad_norm": gnorm,
+        "dynamics/layer_ratio": layer_grad_ratio(grads, first_path, last_path),
+        "dynamics/update_ratio": update_ratio(state.params, grads, lr_val),
+        "nonfinite_steps": 1.0 - ok.astype(jnp.float32),
+    }
+    new_state = select_state(
+        ok, state.apply_updates(grads, new_extra, ema_decay=ema_decay),
+        state)
+    metrics["nonfinite_total"] = new_state.skipped
+    return new_state, metrics
+
+
 def make_train_step(model, loss_fn: Callable, scale: int,
                     first_path: str, last_path: str,
                     ema_decay: float | None = None):
@@ -80,23 +103,68 @@ def make_train_step(model, loss_fn: Callable, scale: int,
         (loss, new_extra), grads = jax.value_and_grad(loss_of, has_aux=True)(
             state.params
         )
-        lr_val = state.learning_rate
-        gnorm = grad_norm(grads)
-        ok = _finite_guard(loss, gnorm)
-        metrics = {
-            "train_loss": loss,
-            "dynamics/grad_norm": gnorm,
-            "dynamics/layer_ratio": layer_grad_ratio(grads, first_path, last_path),
-            "dynamics/update_ratio": update_ratio(state.params, grads, lr_val),
-            "nonfinite_steps": 1.0 - ok.astype(jnp.float32),
-        }
-        new_state = select_state(
-            ok, state.apply_updates(grads, new_extra, ema_decay=ema_decay),
-            state)
-        metrics["nonfinite_total"] = new_state.skipped
-        return new_state, metrics
+        return _finalize_update(state, grads, new_extra, loss,
+                                first_path, last_path, ema_decay)
 
     return train_step
+
+
+# ---------------------------------------------------------------------------
+# Gradient accumulation (--grad_accum k): the logical batch stays
+# cfg.batch_size, but each update is computed from k sequential microbatches
+# of batch_size/k — an HBM knob, not a math change. The loader's sample
+# order and augmentation RNG are keyed on GLOBAL epoch position
+# (data/pipeline.py:229-233), so k microbatches see bit-identical samples
+# to the unsplit batch, and all our losses are batch means, so the averaged
+# microbatch gradients equal the big-batch gradient exactly (tested to
+# float tolerance in tests/test_grad_accum.py). Mutable collections (BN
+# stats, spectral u/v) thread sequentially through the group. The reference
+# has no accumulation (plain backward/step, reference train.py:117-120);
+# this exists so reference batch sizes still fit when crop sizes grow.
+# ---------------------------------------------------------------------------
+
+def make_grad_step(model, loss_fn: Callable, scale: int):
+    """Gradient-only microbatch step: loss + grads at the CURRENT params,
+    threading the mutable collections; no optimizer update (the accumulated
+    group is applied once by ``make_accum_apply``)."""
+
+    def grad_step(params, extra, hr_u8: jnp.ndarray):
+        lr_img, hr = prepare_batch(hr_u8, scale)
+
+        def loss_of(p):
+            sr, new_extra = _apply_train(model, p, extra, lr_img)
+            return loss_fn(sr, hr), new_extra
+
+        (loss, new_extra), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            params
+        )
+        return loss, grads, new_extra
+
+    return grad_step
+
+
+def add_grads(gsum, g):
+    """Running on-device sum of gradient pytrees (jit with donated gsum)."""
+    return jax.tree_util.tree_map(jnp.add, gsum, g)
+
+
+def make_accum_apply(accum: int, first_path: str, last_path: str,
+                     ema_decay: float | None = None):
+    """Apply one optimizer update from ``accum`` summed microbatch grads.
+
+    Averaging happens here (sum/accum) so the accumulator stays a plain
+    running sum. The non-finite guard sees the averaged grads: one NaN
+    microbatch poisons the sum, so the whole logical step is skipped and
+    the state (params, moments, extra, EMA) stays untouched — the same
+    all-or-nothing semantics as the fused step."""
+    inv = 1.0 / float(accum)
+
+    def apply_step(state: SRTrainState, grads_sum, new_extra, loss_sum):
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads_sum)
+        return _finalize_update(state, grads, new_extra, loss_sum * inv,
+                                first_path, last_path, ema_decay)
+
+    return apply_step
 
 
 def make_eval_step(model, loss_fn: Callable, scale: int):

@@ -44,6 +44,12 @@ def parse_args():
     p.add_argument("--ema", type=float, default=DEFAULTS["ema"],
                    help="EMA decay for generator params (e.g. 0.999); EMA "
                         "weights are validated and checkpointed. 0 = off")
+    p.add_argument("--grad_accum", type=int, default=DEFAULTS["grad_accum"],
+                   help="accumulate gradients over k microbatches of "
+                        "batch_size/k per optimizer update — same math "
+                        "(losses are batch means; microbatch sample order/"
+                        "RNG is position-keyed), 1/k the activation memory. "
+                        "Supervised losses only")
     p.add_argument("--use_wandb", type=lambda s: s.lower() in ("1", "true"),
                    default=DEFAULTS["use_wandb"], nargs="?", const=True,
                    help="force W&B on/off (default: auto — on iff wandb is "
