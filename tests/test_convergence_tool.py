@@ -42,17 +42,22 @@ def test_convergence_parity_tool_end_to_end(tmp_path):
     assert len(summary["ours"]) == 1
     for side in (summary["torch"], summary["ours"][0]):
         assert 0.0 < side["test_psnr"] < 100.0
-    # --skip_torch reuses the recorded torch leg (fast re-check path)
+    # --skip_torch reuses the recorded torch leg (fast re-check path);
+    # --resume_ours picks up the rolling _last checkpoint r1 left behind
+    # (here at the final epoch, so the leg re-evals without retraining —
+    # the train-more-after-resume half is pinned by tests/test_resume.py)
     r2 = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools/convergence_parity.py"),
          "--data_root", str(tree), "--architecture", "SRCNN",
          "--loss", "mse", "--epochs", "1", "--seeds", "1",
          "--crop_size", "48", "--batch_size", "8", "--cpu",
          "--weights_dir", str(tmp_path / "w"),
-         "--tolerance", "1e9", "--skip_torch", "--out", str(out)],
+         "--tolerance", "1e9", "--skip_torch", "--resume_ours",
+         "--out", str(out)],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
     assert r2.returncode == 0, r2.stdout[-2000:] + r2.stderr[-2000:]
     assert "reusing" in r2.stdout
+    assert "resuming from" in r2.stdout
     # our-side checkpoints went to --weights_dir, not the repo
     assert (tmp_path / "w" / "convpar_SRCNN_mse_s0_best").is_dir()
     # --skip_torch refuses a record from a DIFFERENT leg (a stale torch

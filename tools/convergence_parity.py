@@ -194,7 +194,14 @@ def train_ours(args, seed):
     from food101_sr_tpu.training import train
 
     tag = f"convpar_{args.architecture}_{args.loss}_s{seed}"
+    resume = ""
+    if args.resume_ours:
+        last = os.path.join(args.weights_dir, f"{tag}_last")
+        if os.path.isdir(last):
+            resume = os.path.abspath(last)
+            print(f"[ours s{seed}] resuming from {resume}")
     final = train(config={
+        "resume": resume,
         "architecture": args.architecture,
         "batch_size": args.batch_size,
         "lr": args.lr,
@@ -236,6 +243,11 @@ def main():
                         "short budgets wiggle)")
     p.add_argument("--skip_torch", action="store_true",
                    help="reuse the torch result from --out")
+    p.add_argument("--resume_ours", action="store_true",
+                   help="resume interrupted ours-side legs from their "
+                        "rolling <tag>_last checkpoints (exact-replay "
+                        "resume; tests/test_resume.py pins resumed == "
+                        "uninterrupted)")
     p.add_argument("--weights_dir", default="weights",
                    help="where our side's checkpoints land (legs are named "
                         "convpar_<arch>_<loss>_s<seed> so legs don't "
