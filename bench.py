@@ -61,7 +61,16 @@ def bench_tpu() -> float:
 
     from food101_sr_tpu.models import get_model
 
-    dev = jax.devices()[0]
+    # When the remote-TPU tunnel is down, jax.devices() raises RuntimeError
+    # (after the plugin's ~25 min internal retry loop). The driver records
+    # stdout verbatim, so never die without the JSON line: fall back to the
+    # CPU backend and tag the result (an honest tiny number beats a crash).
+    try:
+        dev = jax.devices()[0]
+    except RuntimeError as e:
+        log(f"accelerator backend unavailable ({e}); falling back to CPU")
+        jax.config.update("jax_platforms", "cpu")
+        dev = jax.devices()[0]
     log(f"jax backend: {dev.platform} ({dev.device_kind})")
 
     model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16)

@@ -5,7 +5,6 @@ from .loop import DEFAULTS, train
 from .schedule import EarlyStopping, ReduceLROnPlateau
 from .state import SRTrainState, make_adam
 from .steps import (
-    add_grads,
     add_noise,
     make_accum_apply,
     make_eval_step,
@@ -21,7 +20,6 @@ __all__ = [
     "EarlyStopping",
     "ReduceLROnPlateau",
     "SRTrainState",
-    "add_grads",
     "add_noise",
     "make_accum_apply",
     "load_checkpoint",

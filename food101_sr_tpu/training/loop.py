@@ -15,6 +15,7 @@ from typing import Any, Mapping
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 try:  # reference parity: tqdm bars around the hot loops (train.py:77,190)
     from tqdm import tqdm
@@ -51,7 +52,6 @@ from .diagnostics import FIRST_LAST
 from .schedule import EarlyStopping, ReduceLROnPlateau
 from .state import SRTrainState, make_adam
 from .steps import (
-    add_grads,
     make_accum_apply,
     make_eval_step,
     make_forward,
@@ -196,6 +196,15 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
                 f"(mesh of {n_dev} devices needs a multiple of {n_dev}). "
                 f"Increase the dataset/subset or shrink batch_size."
             )
+    if accum > 1 and len(train_loader) < accum:
+        # without this, every microbatch hits the mid-group `continue` and
+        # the run "succeeds" with zero optimizer updates ever applied
+        raise ValueError(
+            f"train loader yields {len(train_loader)} microbatches per epoch "
+            f"but --grad_accum {accum} needs {accum} per update; no update "
+            f"would ever run. Increase the dataset/subset or shrink "
+            f"batch_size/grad_accum."
+        )
 
     # --- model & states ---------------------------------------------------
     model = get_model(cfg["architecture"], scale_factor=scale, dtype=dtype)
@@ -225,7 +234,8 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
     )
     if accum > 1:
         grad_step = jax.jit(make_grad_step(model, criterion, scale))
-        grad_add = jax.jit(add_grads, donate_argnums=0)
+        # running on-device grad-pytree sum (optax ships the tree op)
+        grad_add = jax.jit(optax.tree_utils.tree_add, donate_argnums=0)
         accum_apply = jax.jit(
             make_accum_apply(accum, first, last, ema_decay=ema_decay),
             donate_argnums=(0, 1),
@@ -281,13 +291,18 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
                    desc=f"Epoch {epoch + 1}/{cfg['epochs']}", leave=False)
         profile_steps = int(cfg["profile_steps"]) if epoch == start_epoch else 0
         profiling = False
+        # device-level tracing (SURVEY §5 tracing row): a window of
+        # profile_steps optimizer updates in the first epoch, starting only
+        # after every jit in the update path has compiled (batch 0 for the
+        # fused/GAN steps; grad_add at batch 1 and accum_apply at batch
+        # accum-1 under --grad_accum, so the first full group ends first)
+        trace_start = 1 if accum == 1 else accum
+        trace_len = profile_steps * accum  # microbatches per logical update
         for batch_idx, hr_u8 in enumerate(bar):
-            # device-level tracing (SURVEY §5 tracing row): profile steps
-            # [1, 1+N) of the first epoch into a TensorBoard-readable trace
-            if profile_steps and batch_idx == 1:  # step 0 is the compile
+            if profile_steps and batch_idx == trace_start:
                 jax.profiler.start_trace(cfg["profile_dir"])
                 profiling = True
-            if profiling and batch_idx == 1 + profile_steps:
+            if profiling and batch_idx == trace_start + trace_len:
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"Wrote device trace to {cfg['profile_dir']}")
@@ -328,7 +343,7 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
                 if log_data.get("nonfinite_steps", 0) or \
                         log_data.get("nonfinite_steps_D", 0):
                     print(f"WARNING: non-finite loss/grads at epoch {epoch} "
-                          f"step {batch_idx}; update skipped (state kept)")
+                          f"update {logical_idx}; update skipped (state kept)")
         if profiling:  # epoch shorter than the requested trace window
             jax.profiler.stop_trace()
             print(f"Wrote device trace to {cfg['profile_dir']}")

@@ -143,11 +143,6 @@ def make_grad_step(model, loss_fn: Callable, scale: int):
     return grad_step
 
 
-def add_grads(gsum, g):
-    """Running on-device sum of gradient pytrees (jit with donated gsum)."""
-    return jax.tree_util.tree_map(jnp.add, gsum, g)
-
-
 def make_accum_apply(accum: int, first_path: str, last_path: str,
                      ema_decay: float | None = None):
     """Apply one optimizer update from ``accum`` summed microbatch grads.

@@ -5,12 +5,40 @@ can't make a convergence claim (so no tolerance assert here; the committed
 evidence lives in runs/convergence_parity.json); this pins that the
 harness itself runs end-to-end and reports all the fields the claim needs.
 """
+import argparse
 import json
 import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_resume_ours_config_drift_guard(tmp_path, monkeypatch):
+    """--resume_ours must refuse a checkpoint trained under different
+    hyperparams (the tag encodes only arch/loss/seed)."""
+    sys.path.insert(0, REPO)
+    from tools import convergence_parity as cp
+
+    tag = "convpar_SRCNN_mse_s0"
+    rd = tmp_path / "runs" / tag
+    rd.mkdir(parents=True)
+    prior = {"architecture": "SRCNN", "loss_function": "mse", "epochs": 1,
+             "batch_size": 8, "lr": 6e-4, "crop_size": 48,
+             "scale_factor": 4, "patience": 5, "data_root": "/tree"}
+    (rd / "log.jsonl").write_text(json.dumps({"_config": prior}) + "\n")
+    monkeypatch.setenv("FOOD101_SR_RUN_DIR", str(tmp_path / "runs"))
+    args = argparse.Namespace(architecture="SRCNN", loss="mse", epochs=1,
+                              batch_size=8, lr=6e-4, crop_size=48, scale=4,
+                              patience=5, data_root="/tree")
+    cp._check_resume_config(args, tag)  # identical config -> no complaint
+    args.lr = 1e-4
+    with pytest.raises(SystemExit, match="different config"):
+        cp._check_resume_config(args, tag)
+    # missing run log -> warn-and-proceed, never a crash
+    cp._check_resume_config(args, "convpar_missing_tag_s9")
 
 
 def test_convergence_parity_tool_end_to_end(tmp_path):

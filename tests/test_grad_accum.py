@@ -13,13 +13,13 @@ the error paths (GAN, indivisible batch).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
 from food101_sr_tpu.losses import mae_loss
 from food101_sr_tpu.models import get_model
 from food101_sr_tpu.training import (
     SRTrainState,
-    add_grads,
     make_accum_apply,
     make_adam,
     make_grad_step,
@@ -60,7 +60,7 @@ def test_accumulated_grads_equal_big_batch(accum):
     gsum = lsum = None
     for i in range(accum):
         li, gi, extra = gs(state.params, extra, hr[i * mb:(i + 1) * mb])
-        gsum = gi if gsum is None else add_grads(gsum, gi)
+        gsum = gi if gsum is None else optax.tree_utils.tree_add(gsum, gi)
         lsum = li if lsum is None else lsum + li
     g_acc = jax.tree_util.tree_map(lambda g: g / accum, gsum)
 
@@ -90,7 +90,7 @@ def test_accum_apply_matches_fused_step_update():
     extra, gsum, lsum = state.extra, None, None
     for i in range(2):
         li, gi, extra = gs(state.params, extra, hr[i * 4:(i + 1) * 4])
-        gsum = gi if gsum is None else add_grads(gsum, gi)
+        gsum = gi if gsum is None else optax.tree_utils.tree_add(gsum, gi)
         lsum = li if lsum is None else lsum + li
     apply_fn = jax.jit(make_accum_apply(2, first, last))
     s_acc, m_acc = apply_fn(state, gsum, extra, lsum)
@@ -131,7 +131,7 @@ def test_nonfinite_microbatch_skips_whole_group():
     gs = jax.jit(make_grad_step(model, mae_loss, 4))
     l1, g1, e1 = gs(state.params, state.extra, hr[:4])
     bad = jax.tree_util.tree_map(lambda g: g * jnp.nan, g1)
-    gsum = add_grads(g1, bad)
+    gsum = optax.tree_utils.tree_add(g1, bad)
     apply_fn = jax.jit(make_accum_apply(2, "conv1", "conv3"))
     new_state, metrics = apply_fn(state, gsum, e1, l1 + l1)
     assert int(new_state.skipped) == 1
@@ -161,6 +161,19 @@ def test_train_loop_grad_accum_rejects_gan(tmp_path):
             "architecture": "SRCNN", "dataset": "synthetic",
             "synthetic_size": 96, "crop_size": 32, "batch_size": 16,
             "grad_accum": 2, "epochs": 1, "loss_function": "gan",
+            "weights_dir": str(tmp_path), "use_wandb": False,
+        })
+
+
+def test_train_loop_grad_accum_rejects_zero_update_epochs(tmp_path):
+    """An epoch with fewer microbatches than the accumulation factor would
+    never fire an optimizer update (every batch hits the mid-group continue)
+    yet still 'succeed' — the loop must refuse up front."""
+    with pytest.raises(ValueError, match="no update"):
+        train(config={
+            "architecture": "SRCNN", "dataset": "synthetic",
+            "synthetic_size": 96, "crop_size": 32, "batch_size": 128,
+            "grad_accum": 16, "epochs": 1, "loss_function": "mse",
             "weights_dir": str(tmp_path), "use_wandb": False,
         })
 

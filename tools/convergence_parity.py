@@ -190,6 +190,37 @@ def train_reference_torch(args):
 # our side — the production train()
 # --------------------------------------------------------------------------
 
+def _check_resume_config(args, tag):
+    """Refuse to resume a checkpoint recorded under different hyperparams.
+
+    The checkpoint tag only encodes arch/loss/seed, so an interrupted leg
+    with (say) a different lr or crop would silently resume into THIS leg's
+    summary — the same mislabeled-verdict hazard --skip_torch guards
+    against. The interrupted run's config is its run log's first _config
+    line (utils/logging.py writes it on open; restarts append more lines —
+    the first is the one the checkpoint's training actually used)."""
+    run_dir = os.environ.get("FOOD101_SR_RUN_DIR", "runs")
+    log_path = os.path.join(run_dir, tag, "log.jsonl")
+    if not os.path.exists(log_path):
+        print(f"[ours] WARNING: no run log at {log_path}; cannot verify the "
+              f"checkpoint's config matches — resuming anyway")
+        return
+    with open(log_path) as f:
+        first = json.loads(f.readline())
+    prior = first.get("_config", {})
+    now = {"architecture": args.architecture, "loss_function": args.loss,
+           "epochs": args.epochs, "batch_size": args.batch_size,
+           "lr": args.lr, "crop_size": args.crop_size,
+           "scale_factor": args.scale, "patience": args.patience,
+           "data_root": args.data_root}
+    drift = {k: (prior.get(k), v) for k, v in now.items()
+             if k in prior and prior[k] != v}
+    if drift:
+        sys.exit(f"--resume_ours: checkpoint for {tag} was trained with a "
+                 f"different config (prior vs now): {drift}. Delete "
+                 f"weights/{tag}_last or drop --resume_ours to restart.")
+
+
 def train_ours(args, seed):
     from food101_sr_tpu.training import train
 
@@ -198,6 +229,7 @@ def train_ours(args, seed):
     if args.resume_ours:
         last = os.path.join(args.weights_dir, f"{tag}_last")
         if os.path.isdir(last):
+            _check_resume_config(args, tag)
             resume = os.path.abspath(last)
             print(f"[ours s{seed}] resuming from {resume}")
     final = train(config={

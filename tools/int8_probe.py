@@ -80,9 +80,9 @@ def main():
 
     @jax.jit
     def im2col_int8(x, w):
-        # patches: (B, H, W, K*K*C) with C fastest ("features then spatial"
-        # per conv_general_dilated_patches docs: feature dim is C*K*K with
-        # input-channel minor) — match by reshaping w accordingly.
+        # patches: (B, H, W, C*K*K) with input channel MAJOR (flattened
+        # feature index = c*K*K + kh*K + kw), so the weight matrix must put
+        # C first too: transpose HWIO -> IHWO before the reshape.
         p = lax.conv_general_dilated_patches(
             x, (K, K), (1, 1), "SAME",
             dimension_numbers=dn)
