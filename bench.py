@@ -38,7 +38,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_tpu() -> float:
+def bench_tpu(quantize: str = "") -> float:
     """Overhead-cancelled device timing.
 
     The remote-TPU tunnel used by the driver acks dispatches before they
@@ -73,7 +73,8 @@ def bench_tpu() -> float:
         dev = jax.devices()[0]
     log(f"jax backend: {dev.platform} ({dev.device_kind})")
 
-    model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16)
+    model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16,
+                      quantize=quantize)
     variables = model.init(
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, LR_SIZE, LR_SIZE, 3), jnp.float32),
@@ -217,7 +218,8 @@ def bench_train_step(batch: int = 128) -> float:
     from food101_sr_tpu.models import get_model
     from food101_sr_tpu.training import SRTrainState, make_adam, make_train_step
 
-    model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16)
+    model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16,
+                      quantize=quantize)
     variables = model.init(
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, LR_SIZE, LR_SIZE, 3), jnp.float32),
@@ -405,13 +407,21 @@ def main():
             "vs_baseline": None,
         }))
         return
-    ours = bench_tpu()
+    quantize = ""
+    if "--quantize_dot" in sys.argv:
+        quantize = "int8_dot"
+    elif "--quantize" in sys.argv:
+        quantize = "int8"
+    ours = bench_tpu(quantize)
     baseline = bench_torch_reference()
     if baseline is None:
         baseline = FALLBACK_BASELINE_IPS
     vs = round(ours / baseline, 2) if baseline else None
+    metric = "attentionsr_x4_inference_throughput"
+    if quantize:
+        metric += f"_{quantize}"
     print(json.dumps({
-        "metric": "attentionsr_x4_inference_throughput",
+        "metric": metric,
         "value": round(ours, 1),
         "unit": "images/sec/chip",
         "vs_baseline": vs,

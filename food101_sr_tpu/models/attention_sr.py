@@ -19,6 +19,9 @@ class AttentionSR(nn.Module):
     num_residuals: int = 32
     dtype: Any = None
     remat: bool = False  # rematerialize blocks in backward (trade FLOPs for HBM)
+    quantize: str = ""   # "int8"/"int8_dot": dynamic-int8 BODY convs for
+                         # inference (head/tail convs stay full precision;
+                         # ops/quantize.py — inference-only, params unchanged)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -30,8 +33,9 @@ class AttentionSR(nn.Module):
         r = initial
         for i in range(self.num_residuals):
             r = block_cls(self.num_channels, dtype=self.dtype,
-                          name=f"res_{i}")(r)
-        r = Conv(self.num_channels, 3, dtype=self.dtype, name="mid_conv")(r)
+                          quantize=self.quantize, name=f"res_{i}")(r)
+        r = Conv(self.num_channels, 3, dtype=self.dtype,
+                 quantize=self.quantize, name="mid_conv")(r)
         x = initial + r
         assert self.scale_factor >= 2 and \
             self.scale_factor & (self.scale_factor - 1) == 0, \

@@ -75,6 +75,7 @@ class _RawConv(nn.Module):
     kernel_init: Callable
     dtype: Dtype
     subpixel_r: int
+    quantize: str = ""
 
     @nn.compact
     def __call__(self, x):
@@ -88,6 +89,13 @@ class _RawConv(nn.Module):
         xc = x.astype(dtype)
         kc = kernel.astype(dtype)
         bc = bias.astype(dtype) if bias is not None else None
+
+        if self.quantize:  # inference-only dynamic int8 (ops/quantize.py)
+            from ..ops.quantize import int8_conv2d
+
+            via = "dot" if self.quantize == "int8_dot" else "conv"
+            return int8_conv2d(xc, kernel, bias, strides=self.strides,
+                               via=via)
 
         r = self.subpixel_r
         h, w = x.shape[1], x.shape[2]
@@ -124,6 +132,7 @@ class Conv(nn.Module):
     kernel_init: Callable = kaiming_normal("fan_in")
     dtype: Dtype = None
     subpixel_r: int = 0
+    quantize: str = ""  # "" | "int8" | "int8_dot" (inference-only)
 
     @nn.compact
     def __call__(self, x):
@@ -135,6 +144,7 @@ class Conv(nn.Module):
             kernel_init=self.kernel_init,
             dtype=self.dtype,
             subpixel_r=self.subpixel_r,
+            quantize=self.quantize,
             name="conv",
         )(x)
 
@@ -234,16 +244,19 @@ class ResidualBlock(nn.Module):
     channels: int
     use_se: bool = False
     dtype: Dtype = None
+    quantize: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        r = Conv(self.channels, 3, dtype=self.dtype, name="conv1")(x)
+        r = Conv(self.channels, 3, dtype=self.dtype, quantize=self.quantize,
+                 name="conv1")(x)
         r = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn1",
         )(r)
         r = PReLU(name="prelu")(r)
-        r = Conv(self.channels, 3, dtype=self.dtype, name="conv2")(r)
+        r = Conv(self.channels, 3, dtype=self.dtype, quantize=self.quantize,
+                 name="conv2")(r)
         r = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn2",
@@ -260,12 +273,15 @@ class AttentionResidualBlock(nn.Module):
     channels: int
     res_scale: float = 0.1
     dtype: Dtype = None
+    quantize: str = ""
 
     @nn.compact
     def __call__(self, x):
-        r = Conv(self.channels, 3, dtype=self.dtype, name="conv1")(x)
+        r = Conv(self.channels, 3, dtype=self.dtype, quantize=self.quantize,
+                 name="conv1")(x)
         r = PReLU(name="prelu")(r)
-        r = Conv(self.channels, 3, dtype=self.dtype, name="conv2")(r)
+        r = Conv(self.channels, 3, dtype=self.dtype, quantize=self.quantize,
+                 name="conv2")(r)
         r = SEBlock(self.channels, dtype=self.dtype, name="se")(r)
         return x + r * jnp.asarray(self.res_scale, r.dtype)
 

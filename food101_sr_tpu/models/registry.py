@@ -16,31 +16,41 @@ from .srcnn import SRCNN
 from .resnet_sr import ResNetSR
 
 _REGISTRY = {
-    "SRCNN": lambda scale, dtype, remat: SRCNN(
+    "SRCNN": lambda scale, dtype, remat, quantize: SRCNN(
         scale_factor=scale, hidden_dim=64, dtype=dtype
     ),
-    "RESNET": lambda scale, dtype, remat: ResNetSR(
+    "RESNET": lambda scale, dtype, remat, quantize: ResNetSR(
         scale_factor=scale, num_residuals=16, num_channels=64, dtype=dtype,
-        remat=remat,
+        remat=remat, quantize=quantize,
     ),
-    "AttentionSR": lambda scale, dtype, remat: AttentionSR(
+    "AttentionSR": lambda scale, dtype, remat, quantize: AttentionSR(
         scale_factor=scale, num_residuals=32, num_channels=96, dtype=dtype,
-        remat=remat,
+        remat=remat, quantize=quantize,
     ),
 }
 
 
 def get_model(name: str, scale_factor: int = 4, dtype: Any = None,
-              remat: bool = False) -> nn.Module:
+              remat: bool = False, quantize: str = "") -> nn.Module:
     """``remat=True`` rematerializes residual blocks in the backward pass
     (jax.checkpoint), trading ~20% step time (measured on v5e at batch
     128-512, crop 200) for O(depth) less activation HBM. At the reference
     training geometry activations already fit, so the default is off; use
     it for larger crops/channel counts. Gradients are bit-equivalent
-    (tested). SRCNN has no block stack; the flag is a no-op there."""
+    (tested). SRCNN has no block stack; the flag is a no-op there.
+
+    ``quantize="int8"`` (or ``"int8_dot"`` for the im2col lowering) runs
+    the ResNetSR/AttentionSR BODY convs in dynamic int8 for inference
+    (ops/quantize.py); same float params, no QAT. SRCNN has no body stack
+    (3 convs at HR resolution, all quality-critical), so the flag is
+    rejected there rather than silently ignored."""
     if name not in _REGISTRY:
         raise ValueError(f"Unknown architecture: {name}")
-    return _REGISTRY[name](scale_factor, dtype, remat)
+    if quantize and name == "SRCNN":
+        raise ValueError("quantize: SRCNN has no quantizable body stack")
+    if quantize not in ("", "int8", "int8_dot"):
+        raise ValueError(f"Unknown quantize mode: {quantize!r}")
+    return _REGISTRY[name](scale_factor, dtype, remat, quantize)
 
 
 def model_names():
@@ -64,7 +74,7 @@ def detect_architecture(params) -> str:
 
 
 def model_for_params(params, scale_factor: int = 4, dtype: Any = None,
-                     remat: bool = False) -> nn.Module:
+                     remat: bool = False, quantize: str = "") -> nn.Module:
     """Construct the module matching a loaded checkpoint, inferring
     width/depth from tensor shapes — so non-registry variants (e.g. the
     reference analysis tools' 64-channel AttentionSR,
@@ -77,6 +87,10 @@ def model_for_params(params, scale_factor: int = 4, dtype: Any = None,
     (bicubic pre-upsample), so ``scale_factor`` is taken as given there.
     """
     arch = detect_architecture(params)
+    if quantize and arch not in ("RESNET", "AttentionSR"):
+        raise ValueError(f"quantize: {arch} has no quantizable body stack")
+    if quantize not in ("", "int8", "int8_dot"):
+        raise ValueError(f"Unknown quantize mode: {quantize!r}")
     if arch == "SRCNN":
         return SRCNN(scale_factor=scale_factor,
                      hidden_dim=params["conv2"]["conv"]["kernel"].shape[-1],
@@ -91,7 +105,7 @@ def model_for_params(params, scale_factor: int = 4, dtype: Any = None,
         num_channels=params["input_conv"]["conv"]["kernel"].shape[-1],
         num_residuals=1 + max(int(k.split("_")[1]) for k in params
                               if k.startswith("res_")),
-        dtype=dtype, remat=remat,
+        dtype=dtype, remat=remat, quantize=quantize,
     )
 
 

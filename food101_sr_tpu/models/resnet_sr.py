@@ -20,6 +20,8 @@ class ResNetSR(nn.Module):
     num_residuals: int = 16
     dtype: Any = None
     remat: bool = False  # rematerialize blocks in backward (trade FLOPs for HBM)
+    quantize: str = ""   # "int8"/"int8_dot": dynamic-int8 BODY convs for
+                         # inference (BN/head/tail stay full precision)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -31,8 +33,9 @@ class ResNetSR(nn.Module):
         r = initial
         for i in range(self.num_residuals):
             r = block_cls(self.num_channels, use_se=False, dtype=self.dtype,
-                          name=f"res_{i}")(r, train)
-        r = Conv(self.num_channels, 3, dtype=self.dtype, name="mid_conv")(r)
+                          quantize=self.quantize, name=f"res_{i}")(r, train)
+        r = Conv(self.num_channels, 3, dtype=self.dtype,
+                 quantize=self.quantize, name="mid_conv")(r)
         r = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn_mid")(r)
         x = initial + r

@@ -7,6 +7,11 @@ from .resize import (
     upsample_bicubic,
 )
 from .pixel_shuffle import pixel_shuffle
+from .quantize import (
+    int8_conv2d,
+    quantize_kernel_per_cout,
+    quantize_per_tensor,
+)
 from .gaussian import gaussian_kernel_2d, depthwise_blur
 from .tta import self_ensemble
 
@@ -19,6 +24,9 @@ __all__ = [
     "resize_bilinear_torch",
     "upsample_bicubic",
     "pixel_shuffle",
+    "int8_conv2d",
+    "quantize_kernel_per_cout",
+    "quantize_per_tensor",
     "gaussian_kernel_2d",
     "depthwise_blur",
 ]

@@ -95,6 +95,8 @@ def main():
                    help="appended to each stem; {scale} is substituted")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--quantize", default="", choices=["", "int8", "int8_dot"],
+                   help="dynamic-int8 body convs (see serve.py --quantize)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile shape buckets before timing")
     args = p.parse_args()
@@ -111,7 +113,8 @@ def main():
     server = SRServer(args.architecture, args.checkpoint, scale=args.scale,
                       tile=args.tile, max_batch=args.max_batch,
                       dtype=jnp.bfloat16 if args.dtype == "bfloat16"
-                      else jnp.float32, tta=args.tta)
+                      else jnp.float32, tta=args.tta,
+                      quantize=args.quantize)
     if args.warmup:
         server.warmup()
 

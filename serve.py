@@ -175,7 +175,8 @@ class SRServer:
     def __init__(self, architecture: str, checkpoint: str | None,
                  scale: int = 4, tile: int = 64, dtype=jnp.bfloat16,
                  png_level: int = 1, use_mesh: bool = False,
-                 max_batch: int = 8, tta: bool = False):
+                 max_batch: int = 8, tta: bool = False,
+                 quantize: str = ""):
         self.scale = scale
         self.tile = tile
         self.png_level = png_level
@@ -200,13 +201,13 @@ class SRServer:
                 params, extra = loaded["params"], loaded.get("extra", {})
             architecture = detect_architecture(params)
             self.model = model_for_params(params, scale_factor=scale,
-                                          dtype=dtype)
+                                          dtype=dtype, quantize=quantize)
             # the checkpoint's upsample stages are authoritative for scale
             self.scale = scale = getattr(self.model, "scale_factor", scale)
             self.variables = {"params": params, **extra}
         else:
             self.model = get_model(architecture, scale_factor=scale,
-                                   dtype=dtype)
+                                   dtype=dtype, quantize=quantize)
             variables = self.model.init(
                 {"params": jax.random.PRNGKey(0)},
                 jnp.zeros((1, 16, 16, 3), jnp.float32), train=False)
@@ -503,6 +504,12 @@ def main():
                         "fast=SRCNN --model best=auto@weights/attn_best; "
                         "POST /sr?model=NAME routes (first entry is the "
                         "default). Overrides --architecture/--checkpoint.")
+    p.add_argument("--quantize", default="", choices=["", "int8", "int8_dot"],
+                   help="dynamic-int8 body convs for RESNET/AttentionSR "
+                        "inference (ops/quantize.py; same checkpoints, "
+                        "~42-45 dB quantization SNR measured on the winner "
+                        "weights). int8_dot selects the im2col+matmul "
+                        "lowering where int8 convs aren't native.")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8700)
     a = p.parse_args()
@@ -510,7 +517,8 @@ def main():
     def build(arch, ckpt):
         return SRServer(arch, ckpt or None, a.scale_factor, a.tile,
                         png_level=a.png_level, use_mesh=a.mesh,
-                        max_batch=a.max_batch, tta=a.tta)
+                        max_batch=a.max_batch, tta=a.tta,
+                        quantize=a.quantize)
 
     if a.model:
         # validate every spec BEFORE building any server: construction can

@@ -1,0 +1,156 @@
+"""Dynamic int8 quantized inference (ops/quantize.py + model plumbing).
+
+Beyond-parity serving feature (the reference has no quantized path). The
+numerics here are backend-independent; whether int8 actually beats bf16 on
+the current TPU is measured separately by tools/int8_probe.py.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from food101_sr_tpu.models import get_model, model_for_params
+from food101_sr_tpu.ops import (
+    int8_conv2d,
+    quantize_kernel_per_cout,
+    quantize_per_tensor,
+)
+
+
+def _rand(key, shape, scale=1.0):
+    return scale * jax.random.normal(jax.random.PRNGKey(key), shape,
+                                     jnp.float32)
+
+
+def _ref_conv(x, w, b=None):
+    k = w.shape[0]
+    p = (k - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision="highest",
+    )
+    return y if b is None else y + b
+
+
+def test_quantize_per_tensor_roundtrip():
+    x = _rand(0, (2, 8, 8, 16), scale=3.0)
+    q, s = quantize_per_tensor(x)
+    assert q.dtype == jnp.int8
+    # max quantization error is half a grid step
+    assert float(jnp.max(jnp.abs(q.astype(jnp.float32) * s - x))) <= s / 2 + 1e-7
+    # the extreme value hits the end of the grid exactly
+    assert int(jnp.max(jnp.abs(q))) == 127
+
+
+def test_quantize_kernel_per_cout_scales_channels_independently():
+    # one output channel 1000x larger than the rest: a per-tensor scheme
+    # would crush the small channels to zero; per-channel keeps them
+    w = _rand(1, (3, 3, 8, 4), scale=0.01)
+    w = w.at[..., 0].mul(1000.0)
+    q, s = quantize_kernel_per_cout(w)
+    assert s.shape == (4,)
+    deq = q.astype(jnp.float32) * s
+    for o in range(4):
+        denom = float(jnp.max(jnp.abs(w[..., o])))
+        rel = float(jnp.max(jnp.abs(deq[..., o] - w[..., o]))) / denom
+        assert rel < 1e-2, f"channel {o} rel err {rel}"
+
+
+def test_int8_conv_matches_f32_within_quant_error():
+    x = _rand(2, (2, 12, 12, 32))
+    w = _rand(3, (3, 3, 32, 32), scale=0.1)
+    b = _rand(4, (32,), scale=0.1)
+    y_ref = _ref_conv(x, w, b)
+    y_q = int8_conv2d(x, w, b)
+    # error budget: |y_q - y| <= sx*|w|_sum + sw*|x|_sum per output element;
+    # empirically ~1e-2 relative at these magnitudes. Pin a generous bound
+    # that still catches layout/scale bugs (those give O(1) rel error).
+    rel = float(jnp.linalg.norm(y_q - y_ref) / jnp.linalg.norm(y_ref))
+    assert rel < 0.02, rel
+
+
+def test_int8_conv_and_dot_lowerings_bit_identical():
+    # both lower the same int8 GEMM -> identical int32 accumulators ->
+    # identical floats after the same dequant
+    x = _rand(5, (2, 10, 10, 24))
+    w = _rand(6, (3, 3, 24, 16), scale=0.2)
+    y_conv = int8_conv2d(x, w, via="conv")
+    y_dot = int8_conv2d(x, w, via="dot")
+    np.testing.assert_array_equal(np.asarray(y_conv), np.asarray(y_dot))
+
+
+def test_int8_conv_scale_equivariance():
+    # per-tensor dynamic activation scale: scaling the input by c scales
+    # the output by ~c (same int8 grid is hit, scales absorb c exactly)
+    x = _rand(7, (1, 8, 8, 8))
+    w = _rand(8, (3, 3, 8, 8), scale=0.1)
+    y1 = int8_conv2d(x, w)
+    y2 = int8_conv2d(x * 16.0, w)
+    np.testing.assert_allclose(np.asarray(y2), 16.0 * np.asarray(y1),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("arch,min_snr_db", [("RESNET", 18.0),
+                                              ("AttentionSR", 30.0)])
+def test_quantized_model_forward_close_to_f32(arch, min_snr_db):
+    """Quantized-body forward stays close to the f32 forward on a full
+    model (same float params). Random init is the WORST case — trained
+    checkpoints measure 42-45 dB quantization SNR (winner_{resnet,
+    attentionsr,attentionsr_gan}_best, 2026-08-18) — so the bounds here
+    are loose arch-specific floors that still catch layout/scale bugs
+    (those give ~0 dB). AttentionSR's 0.1 res-scale attenuates per-block
+    quantization noise; RESNET's unscaled residuals accumulate more, and
+    its eval-mode BN needs calibrated stats to be representative at all."""
+    m = get_model(arch, scale_factor=4)
+    mq = get_model(arch, scale_factor=4, quantize="int8")
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 16, 16, 3)),
+                    jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    if "batch_stats" in v:
+        for _ in range(3):
+            _, upd = m.apply(v, x, train=True, mutable=["batch_stats"])
+            v = {**v, "batch_stats": upd["batch_stats"]}
+    y = m.apply(v, x, train=False)
+    y_q = mq.apply(v, x, train=False)  # same float params
+    snr = -10 * np.log10(
+        float(jnp.mean((y_q - y) ** 2)) / float(jnp.mean(y ** 2)))
+    assert snr > min_snr_db, snr
+
+
+def test_quantized_model_param_tree_unchanged():
+    """quantize must not add/rename params: the same checkpoints load."""
+    m = get_model("AttentionSR", scale_factor=4)
+    mq = get_model("AttentionSR", scale_factor=4, quantize="int8")
+    x = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    t = jax.tree_util.tree_structure(
+        m.init({"params": jax.random.PRNGKey(0)}, x, train=False))
+    tq = jax.tree_util.tree_structure(
+        mq.init({"params": jax.random.PRNGKey(0)}, x, train=False))
+    assert t == tq
+
+
+def test_quantize_rejected_for_srcnn_and_bad_mode():
+    with pytest.raises(ValueError, match="body"):
+        get_model("SRCNN", quantize="int8")
+    with pytest.raises(ValueError, match="quantize mode"):
+        get_model("AttentionSR", quantize="int4")
+    params = get_model("SRCNN").init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 8, 8, 3), jnp.float32), train=False)["params"]
+    with pytest.raises(ValueError, match="body"):
+        model_for_params(params, quantize="int8")
+
+
+def test_model_for_params_quantize_plumbs_through():
+    m = get_model("AttentionSR", scale_factor=4)
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 12, 12, 3)),
+                    jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    mq = model_for_params(v["params"], quantize="int8")
+    y_q = mq.apply(v, x, train=False)
+    y = m.apply(v, x, train=False)
+    snr = -10 * np.log10(
+        float(jnp.mean((y_q - y) ** 2)) / float(jnp.mean(y ** 2)))
+    assert snr > 30.0, snr
+    assert not np.allclose(np.asarray(y_q), np.asarray(y))  # actually quantized

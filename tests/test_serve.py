@@ -30,6 +30,27 @@ def test_upscale_small_image(server):
     assert out.size == (80, 48)
 
 
+def test_quantized_serving_close_to_f32():
+    """--quantize int8 serves the same checkpoint with a quantized body;
+    uint8 outputs stay within a few grey levels of the f32 server's."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import serve
+    import jax.numpy as jnp
+
+    srv = serve.SRServer("AttentionSR", None, scale=4, tile=32,
+                         dtype=jnp.float32)
+    srv_q = serve.SRServer("AttentionSR", None, scale=4, tile=32,
+                           dtype=jnp.float32, quantize="int8")
+    srv_q.variables = srv.variables  # same (random-init) weights
+    img = _img(20, 12, seed=3)
+    a = np.asarray(srv.upscale(img), np.int16)
+    b = np.asarray(srv_q.upscale(img), np.int16)
+    assert a.shape == b.shape
+    assert np.mean(np.abs(a - b)) < 3.0  # grey levels (255 scale)
+    assert np.max(np.abs(a - b)) < 64
+
+
 def test_upscale_nonmultiple_size_tiled(server):
     # bigger than tile+2*halo -> goes through tiled_apply; odd size -> padding
     out = server.upscale(_img(70, 50, seed=1))
