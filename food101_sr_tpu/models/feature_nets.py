@@ -130,6 +130,28 @@ def load_feature_params(
     if os.path.exists(path):
         with np.load(path) as npz:
             params = _npz_to_params(npz)
+        # Validate structure + shapes against the module BEFORE first use:
+        # a truncated or mislabeled npz would otherwise surface as an opaque
+        # conv-shape error deep inside apply (or worse, broadcast silently).
+        # eval_shape traces init without computing, so this is ~free.
+        expected = jax.eval_shape(
+            lambda: module.init(jax.random.PRNGKey(0),
+                                jnp.zeros(input_shape, jnp.float32))
+        )["params"]
+        exp_flat = {"/".join(str(k.key) for k in p): v.shape for p, v in
+                    jax.tree_util.tree_flatten_with_path(expected)[0]}
+        got_flat = {"/".join(str(k.key) for k in p): v.shape for p, v in
+                    jax.tree_util.tree_flatten_with_path(params)[0]}
+        if exp_flat != got_flat:
+            missing = sorted(set(exp_flat) - set(got_flat))
+            extra = sorted(set(got_flat) - set(exp_flat))
+            bad = {k: (got_flat[k], exp_flat[k]) for k in exp_flat
+                   if k in got_flat and got_flat[k] != exp_flat[k]}
+            raise ValueError(
+                f"{path} does not match {type(module).__name__}: "
+                f"missing={missing} unexpected={extra} "
+                f"shape mismatches (got, want)={bad}. Re-run "
+                f"tools/convert_torch_weights.py to regenerate it.")
         return {"params": params}, True
     warnings.warn(
         f"Pretrained weights not found at {path}; falling back to a "
@@ -162,7 +184,13 @@ def load_lpips_heads(weights_dir: str | None = None, seed: int = 4321):
     path = os.path.join(weights_dir, "lpips_alex_heads.npz")
     if os.path.exists(path):
         with np.load(path) as npz:
-            return [jnp.asarray(npz[f"lin_{i}"]) for i in range(5)], True
+            heads = [jnp.asarray(npz[f"lin_{i}"]) for i in range(5)]
+        shapes = tuple(h.shape for h in heads)
+        want = tuple((c,) for c in LPIPS_TAP_CHANNELS)
+        if shapes != want:
+            raise ValueError(f"{path}: head shapes {shapes} != {want}; "
+                             f"re-run tools/convert_torch_weights.py")
+        return heads, True
     warnings.warn(
         f"LPIPS head weights not found at {path}; using uniform heads.",
         stacklevel=2,

@@ -232,3 +232,50 @@ def test_perceptual_loss_parity(tmp_path, rng):
         fy = tnet(torch.from_numpy(y.transpose(0, 3, 1, 2).copy()))
         want = float(F.mse_loss(fx, fy))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# npz validation at load (a corrupt/mislabeled provisioned file must fail
+# loudly at load, not as an opaque conv error mid-apply)
+# ---------------------------------------------------------------------------
+
+def test_load_rejects_wrong_shape_npz(tmp_path):
+    arrays = {"conv_0/kernel": np.zeros((3, 3, 3, 64), np.float32),
+              "conv_0/bias": np.zeros((64,), np.float32)}  # truncated stack
+    np.savez(tmp_path / "vgg19_features.npz", **arrays)
+    with pytest.raises(ValueError, match="missing"):
+        load_feature_params(VGG19Features(), "vgg19_features.npz",
+                            (1, 32, 32, 3), weights_dir=str(tmp_path))
+
+
+def test_load_rejects_wrong_lpips_heads(tmp_path):
+    from food101_sr_tpu.models.feature_nets import load_lpips_heads
+
+    np.savez(tmp_path / "lpips_alex_heads.npz",
+             **{f"lin_{i}": np.ones((8,), np.float32) for i in range(5)})
+    with pytest.raises(ValueError, match="head shapes"):
+        load_lpips_heads(weights_dir=str(tmp_path))
+
+
+def test_converter_verify_mode(tmp_path):
+    """tools/convert_torch_weights.py --verify validates provisioned files
+    without torch: absent files report ABSENT (exit 1), valid ones OK."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "tools/convert_torch_weights.py"),
+         "--verify", "--out", str(tmp_path)],
+        capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 1
+    assert "ABSENT" in r.stdout
+    # provision a structurally-correct alexnet file (random values) -> OK
+    net = torch_alexnet_features()
+    np.savez(tmp_path / "alexnet_features.npz", **features_to_arrays(net))
+    r2 = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "tools/convert_torch_weights.py"),
+         "--verify", "--out", str(tmp_path)],
+        capture_output=True, text=True, cwd=REPO)
+    assert "alexnet_features.npz: OK" in r2.stdout

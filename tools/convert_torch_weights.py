@@ -73,10 +73,61 @@ def convert_lpips_heads(out_dir):
     print(f"lpips heads: {len(arrays)}")
 
 
+def verify(weights_dir):
+    """Validate provisioned npz files against the Flax nets WITHOUT torch:
+    the loaders now shape-check on load (models/feature_nets.py), so simply
+    loading each file through the production path proves structure, names,
+    and shapes. Run this on the TPU host after copying the files over."""
+    import sys
+
+    import jax
+
+    # shape validation needs no accelerator; keep it off the TPU tunnel
+    # (the axon plugin ignores JAX_PLATFORMS — the config route works)
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from food101_sr_tpu.models.feature_nets import (
+        AlexNetFeatures, VGG19Features, load_feature_params, load_lpips_heads)
+
+    ok = True
+    for name, module, shape in (
+        ("vgg19_features.npz", VGG19Features(), (1, 32, 32, 3)),
+        ("alexnet_features.npz", AlexNetFeatures(), (1, 64, 64, 3)),
+    ):
+        if not os.path.exists(os.path.join(weights_dir, name)):
+            print(f"{name}: ABSENT (loaders will use the seeded fallback)")
+            ok = False
+            continue
+        try:
+            _, pretrained = load_feature_params(module, name, shape,
+                                                weights_dir)
+            print(f"{name}: OK (pretrained={pretrained})")
+        except ValueError as e:
+            print(f"{name}: INVALID — {e}")
+            ok = False
+    if os.path.exists(os.path.join(weights_dir, "lpips_alex_heads.npz")):
+        try:
+            _, pretrained = load_lpips_heads(weights_dir)
+            print(f"lpips_alex_heads.npz: OK (pretrained={pretrained})")
+        except ValueError as e:
+            print(f"lpips_alex_heads.npz: INVALID — {e}")
+            ok = False
+    else:
+        print("lpips_alex_heads.npz: ABSENT (uniform-head fallback)")
+        ok = False
+    return ok
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="weights")
+    p.add_argument("--verify", action="store_true",
+                   help="validate already-provisioned npz files in --out "
+                        "against the Flax nets (no torch needed; run on the "
+                        "TPU host after copying the files)")
     args = p.parse_args()
+    if args.verify:
+        raise SystemExit(0 if verify(args.out) else 1)
     os.makedirs(args.out, exist_ok=True)
     convert_vgg19(args.out)
     convert_alexnet(args.out)
