@@ -63,10 +63,12 @@ def calculate_psnr(img1, img2):
 class ModelRunner:
     """A model + checkpoint loaded once, with a jitted forward."""
 
-    def __init__(self, display_name: str, ckpt_path: str):
+    def __init__(self, display_name: str, ckpt_path: str,
+                 quantize: str = ""):
         arch = "AttentionSR" if "AttentionSR" in display_name else display_name
         self.name = display_name
-        self.model = get_model(arch, scale_factor=SCALE_FACTOR)
+        q = quantize if arch in ("RESNET", "AttentionSR") else ""
+        self.model = get_model(arch, scale_factor=SCALE_FACTOR, quantize=q)
         dummy = jnp.zeros((1, 16, 16, 3), jnp.float32)
         variables = self.model.init({"params": jax.random.PRNGKey(0)}, dummy,
                                     train=False)
@@ -132,7 +134,7 @@ def parse_weight_specs(specs):
 def run_comparison(dataset="food101", data_root="./data",
                    num_examples=NUM_EXAMPLES, out_dir=OUTPUT_DIR,
                    bucket=True, seed=0, weights=None, tta=False,
-                   full_metrics=False):
+                   full_metrics=False, quantize=""):
     if dataset == "synthetic":
         source = SyntheticSource(n=max(num_examples, 16), seed=seed)
     else:
@@ -144,7 +146,8 @@ def run_comparison(dataset="food101", data_root="./data",
                          replace=False)
     os.makedirs(out_dir, exist_ok=True)
 
-    runners = [ModelRunner(name, path) for name, path in (weights or WEIGHTS).items()]
+    runners = [ModelRunner(name, path, quantize=quantize)
+               for name, path in (weights or WEIGHTS).items()]
     runners = [r for r in runners if r.variables is not None]
 
     metrics_calc = None
@@ -245,8 +248,14 @@ if __name__ == "__main__":
                         "--weights RESNET=weights/winner_resnet_best; the "
                         "architecture is inferred from NAME as in the "
                         "default table")
+    p.add_argument("--quantize", default="", choices=["", "int8", "int8_dot"],
+                   help="dynamic-int8 body convs for the RESNET/AttentionSR "
+                        "rows (SRCNN has no body; its rows stay f32) — "
+                        "report quality/latency of the quantized serving "
+                        "path (DESIGN.md)")
     a = p.parse_args()
     run_comparison(a.dataset, a.data_root, a.num_examples, a.out_dir,
                    bucket=not a.no_bucket, seed=a.seed,
                    weights=parse_weight_specs(a.weights),
-                   tta=a.self_ensemble, full_metrics=a.metrics)
+                   tta=a.self_ensemble, full_metrics=a.metrics,
+                   quantize=a.quantize)
