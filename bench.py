@@ -38,7 +38,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_tpu(quantize: str = "") -> float:
+def bench_tpu(quantize: str = "") -> tuple[float, str]:
     """Overhead-cancelled device timing.
 
     The remote-TPU tunnel used by the driver acks dispatches before they
@@ -110,7 +110,7 @@ def bench_tpu(quantize: str = "") -> float:
     ips = BATCH / per_fwd
     log(f"ours: {ips:.1f} images/sec  ({per_fwd*1e3:.2f} ms / batch {BATCH}; "
         f"t_short={t_short*1e3:.0f}ms t_long={t_long*1e3:.0f}ms)")
-    return ips
+    return ips, dev.platform
 
 
 def bench_torch_reference() -> float | None:
@@ -218,8 +218,7 @@ def bench_train_step(batch: int = 128) -> float:
     from food101_sr_tpu.models import get_model
     from food101_sr_tpu.training import SRTrainState, make_adam, make_train_step
 
-    model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16,
-                      quantize=quantize)
+    model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16)
     variables = model.init(
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, LR_SIZE, LR_SIZE, 3), jnp.float32),
@@ -411,8 +410,18 @@ def main():
     if "--quantize_dot" in sys.argv:
         quantize = "int8_dot"
     elif "--quantize" in sys.argv:
-        quantize = "int8"
-    ours = bench_tpu(quantize)
+        # accept the value form every other CLI uses (--quantize int8_dot);
+        # a bare --quantize means int8. Reject unknown modes loudly rather
+        # than silently benchmarking the wrong lowering.
+        i = sys.argv.index("--quantize")
+        nxt = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
+        if nxt in ("int8", "int8_dot"):
+            quantize = nxt
+        elif nxt and not nxt.startswith("-"):
+            sys.exit(f"unknown --quantize mode {nxt!r} (int8|int8_dot)")
+        else:
+            quantize = "int8"
+    ours, platform = bench_tpu(quantize)
     baseline = bench_torch_reference()
     if baseline is None:
         baseline = FALLBACK_BASELINE_IPS
@@ -420,12 +429,17 @@ def main():
     metric = "attentionsr_x4_inference_throughput"
     if quantize:
         metric += f"_{quantize}"
-    print(json.dumps({
+    line = {
         "metric": metric,
         "value": round(ours, 1),
         "unit": "images/sec/chip",
         "vs_baseline": vs,
-    }))
+    }
+    if platform == "cpu":
+        # tunnel-down fallback: never let a CPU number masquerade as a
+        # chip measurement in the recorded history
+        line["platform"] = "cpu-fallback"
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -184,6 +184,10 @@ def load_lpips_heads(weights_dir: str | None = None, seed: int = 4321):
     path = os.path.join(weights_dir, "lpips_alex_heads.npz")
     if os.path.exists(path):
         with np.load(path) as npz:
+            missing = [f"lin_{i}" for i in range(5) if f"lin_{i}" not in npz]
+            if missing:
+                raise ValueError(f"{path}: missing head arrays {missing}; "
+                                 f"re-run tools/convert_torch_weights.py")
             heads = [jnp.asarray(npz[f"lin_{i}"]) for i in range(5)]
         shapes = tuple(h.shape for h in heads)
         want = tuple((c,) for c in LPIPS_TAP_CHANNELS)

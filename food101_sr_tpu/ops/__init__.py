@@ -10,6 +10,7 @@ from .pixel_shuffle import pixel_shuffle
 from .quantize import (
     int8_conv2d,
     quantize_kernel_per_cout,
+    quantize_per_sample,
     quantize_per_tensor,
 )
 from .gaussian import gaussian_kernel_2d, depthwise_blur
@@ -26,6 +27,7 @@ __all__ = [
     "pixel_shuffle",
     "int8_conv2d",
     "quantize_kernel_per_cout",
+    "quantize_per_sample",
     "quantize_per_tensor",
     "gaussian_kernel_2d",
     "depthwise_blur",

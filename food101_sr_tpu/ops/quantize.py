@@ -8,8 +8,9 @@ numerics for an inference-only quantized body:
 - weights: symmetric per-output-channel int8 (each output channel of an
   HWIO kernel contracts over H,W,I only, so a per-O scale factors out of
   the convolution exactly);
-- activations: symmetric per-tensor int8 with a runtime (dynamic) scale —
-  one absmax reduce per conv, no calibration pass needed;
+- activations: symmetric per-SAMPLE int8 with runtime (dynamic) scales —
+  one absmax reduce per conv, no calibration pass, and co-batched serving
+  requests never affect each other's quantization grid;
 - accumulation in int32 (exact: |sum| <= 127*127*k*k*cin < 2^31 for every
   shape in this framework), dequantized as ``y_int32 * (s_x * s_w[o])``.
 
@@ -51,6 +52,22 @@ def quantize_per_tensor(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """
     xf = x.astype(jnp.float32)
     scale = jnp.maximum(jnp.max(jnp.abs(xf)), _EPS) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127.0, 127.0).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_per_sample(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-SAMPLE int8 for NHWC activations: scale [B,1,1,1].
+
+    The serving micro-batcher stacks tiles from different concurrent
+    requests into one device batch; a whole-batch scale would make a
+    request's output depend on what it was co-batched with (a high-range
+    neighbor coarsens everyone's grid). Per-sample scales keep quantized
+    serving deterministic per input at identical cost.
+    """
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True),
+                        _EPS) / 127.0
     q = jnp.clip(jnp.round(xf / scale), -127.0, 127.0).astype(jnp.int8)
     return q, scale
 
@@ -105,7 +122,7 @@ def int8_conv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
     pad = ((p, p), (p, p))
     s = (strides, strides)
 
-    xq, sx = quantize_per_tensor(x)
+    xq, sx = quantize_per_sample(x)
     wq, sw = quantize_kernel_per_cout(kernel)
     run = _int8_conv_direct if via == "conv" else _int8_conv_im2col
     y = run(xq, wq, s, pad).astype(jnp.float32) * (sx * sw)

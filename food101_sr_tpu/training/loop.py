@@ -298,6 +298,14 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
         # accum-1 under --grad_accum, so the first full group ends first)
         trace_start = 1 if accum == 1 else accum
         trace_len = profile_steps * accum  # microbatches per logical update
+        if profile_steps and trace_start >= len(train_loader):
+            # too few microbatches to skip the warmup batches: trace from
+            # the top rather than silently writing nothing (the trace will
+            # include first-compile time — warn so nobody reads it as
+            # steady-state)
+            print(f"WARNING: epoch has {len(train_loader)} microbatches <= "
+                  f"trace start {trace_start}; trace will include compile")
+            trace_start = 0
         for batch_idx, hr_u8 in enumerate(bar):
             if profile_steps and batch_idx == trace_start:
                 jax.profiler.start_trace(cfg["profile_dir"])

@@ -28,17 +28,28 @@ def test_resume_ours_config_drift_guard(tmp_path, monkeypatch):
     prior = {"architecture": "SRCNN", "loss_function": "mse", "epochs": 1,
              "batch_size": 8, "lr": 6e-4, "crop_size": 48,
              "scale_factor": 4, "patience": 5, "data_root": "/tree"}
-    (rd / "log.jsonl").write_text(json.dumps({"_config": prior}) + "\n")
+    stale = {**prior, "lr": 9e-9}  # a restart that died before training:
+    # appends a _config line with NO metric rows after it — the checkpoint
+    # still belongs to the last config that actually trained
+    (rd / "log.jsonl").write_text(
+        json.dumps({"_config": prior}) + "\n"
+        + json.dumps({"train_loss": 1.0}) + "\n"
+        + json.dumps({"_config": stale}) + "\n")
     monkeypatch.setenv("FOOD101_SR_RUN_DIR", str(tmp_path / "runs"))
     args = argparse.Namespace(architecture="SRCNN", loss="mse", epochs=1,
                               batch_size=8, lr=6e-4, crop_size=48, scale=4,
                               patience=5, data_root="/tree")
-    cp._check_resume_config(args, tag)  # identical config -> no complaint
+    cp._check_resume_config(args, tag)  # matches the trained config -> ok
     args.lr = 1e-4
     with pytest.raises(SystemExit, match="different config"):
         cp._check_resume_config(args, tag)
     # missing run log -> warn-and-proceed, never a crash
     cp._check_resume_config(args, "convpar_missing_tag_s9")
+    # corrupt/empty log -> warn-and-proceed too
+    rd2 = tmp_path / "runs" / "convpar_SRCNN_mse_s1"
+    rd2.mkdir(parents=True)
+    (rd2 / "log.jsonl").write_text("not json\n")
+    cp._check_resume_config(args, "convpar_SRCNN_mse_s1")
 
 
 def test_convergence_parity_tool_end_to_end(tmp_path):

@@ -43,6 +43,23 @@ def test_quantize_per_tensor_roundtrip():
     assert int(jnp.max(jnp.abs(q))) == 127
 
 
+def test_int8_conv_batch_independent():
+    """Per-SAMPLE activation scales: a sample's quantized output must not
+    depend on what it was co-batched with (the serving micro-batcher mixes
+    concurrent requests into one device batch)."""
+    from food101_sr_tpu.ops import quantize_per_sample
+
+    x = _rand(20, (1, 8, 8, 8))
+    w = _rand(21, (3, 3, 8, 8), scale=0.1)
+    loud = 100.0 * _rand(22, (1, 8, 8, 8))  # high-dynamic-range neighbor
+    alone = int8_conv2d(x, w)
+    cobatched = int8_conv2d(jnp.concatenate([x, loud]), w)[:1]
+    np.testing.assert_array_equal(np.asarray(alone), np.asarray(cobatched))
+    q, s = quantize_per_sample(jnp.concatenate([x, loud]))
+    assert s.shape == (2, 1, 1, 1)
+    assert float(s[1, 0, 0, 0]) > 10 * float(s[0, 0, 0, 0])
+
+
 def test_quantize_kernel_per_cout_scales_channels_independently():
     # one output channel 1000x larger than the rest: a per-tensor scheme
     # would crush the small channels to zero; per-channel keeps them

@@ -196,18 +196,32 @@ def _check_resume_config(args, tag):
     The checkpoint tag only encodes arch/loss/seed, so an interrupted leg
     with (say) a different lr or crop would silently resume into THIS leg's
     summary — the same mislabeled-verdict hazard --skip_torch guards
-    against. The interrupted run's config is its run log's first _config
-    line (utils/logging.py writes it on open; restarts append more lines —
-    the first is the one the checkpoint's training actually used)."""
+    against. utils/logging.py appends one _config line per run under the
+    same tag; the rolling checkpoint belongs to the most recent run that
+    actually TRAINED, i.e. the last _config line followed by at least one
+    metric row (a restart that died at startup appends a bare _config line
+    without touching the checkpoint). Unreadable/absent logs warn and
+    proceed (the documented contract) rather than crash."""
     run_dir = os.environ.get("FOOD101_SR_RUN_DIR", "runs")
     log_path = os.path.join(run_dir, tag, "log.jsonl")
-    if not os.path.exists(log_path):
-        print(f"[ours] WARNING: no run log at {log_path}; cannot verify the "
-              f"checkpoint's config matches — resuming anyway")
+    prior, candidate = {}, None
+    try:
+        with open(log_path) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    continue
+                if "_config" in row:
+                    candidate = row["_config"]
+                elif candidate is not None:
+                    prior = candidate
+    except OSError:
+        pass
+    if not prior:
+        print(f"[ours] WARNING: no usable run log at {log_path}; cannot "
+              f"verify the checkpoint's config matches — resuming anyway")
         return
-    with open(log_path) as f:
-        first = json.loads(f.readline())
-    prior = first.get("_config", {})
     now = {"architecture": args.architecture, "loss_function": args.loss,
            "epochs": args.epochs, "batch_size": args.batch_size,
            "lr": args.lr, "crop_size": args.crop_size,

@@ -102,15 +102,15 @@ def verify(weights_dir):
             _, pretrained = load_feature_params(module, name, shape,
                                                 weights_dir)
             print(f"{name}: OK (pretrained={pretrained})")
-        except ValueError as e:
-            print(f"{name}: INVALID — {e}")
+        except Exception as e:  # corrupt zip, missing keys, bad shapes...
+            print(f"{name}: INVALID — {type(e).__name__}: {e}")
             ok = False
     if os.path.exists(os.path.join(weights_dir, "lpips_alex_heads.npz")):
         try:
             _, pretrained = load_lpips_heads(weights_dir)
             print(f"lpips_alex_heads.npz: OK (pretrained={pretrained})")
-        except ValueError as e:
-            print(f"lpips_alex_heads.npz: INVALID — {e}")
+        except Exception as e:
+            print(f"lpips_alex_heads.npz: INVALID — {type(e).__name__}: {e}")
             ok = False
     else:
         print("lpips_alex_heads.npz: ABSENT (uniform-head fallback)")
