@@ -90,6 +90,10 @@ class _RawConv(nn.Module):
         kc = kernel.astype(dtype)
         bc = bias.astype(dtype) if bias is not None else None
 
+        if self.quantize == "qat":  # fake-quant + STE, trainable
+            from ..ops.quantize import fake_quant_conv2d
+
+            return fake_quant_conv2d(xc, kernel, bias, strides=self.strides)
         if self.quantize:  # inference-only dynamic int8 (ops/quantize.py)
             from ..ops.quantize import int8_conv2d
 
@@ -132,7 +136,7 @@ class Conv(nn.Module):
     kernel_init: Callable = kaiming_normal("fan_in")
     dtype: Dtype = None
     subpixel_r: int = 0
-    quantize: str = ""  # "" | "int8" | "int8_dot" (inference-only)
+    quantize: str = ""  # "" | "int8" | "int8_dot" (inference) | "qat" (training)
 
     @nn.compact
     def __call__(self, x):

@@ -41,14 +41,18 @@ def get_model(name: str, scale_factor: int = 4, dtype: Any = None,
 
     ``quantize="int8"`` (or ``"int8_dot"`` for the im2col lowering) runs
     the ResNetSR/AttentionSR BODY convs in dynamic int8 for inference
-    (ops/quantize.py); same float params, no QAT. SRCNN has no body stack
-    (3 convs at HR resolution, all quality-critical), so the flag is
-    rejected there rather than silently ignored."""
+    (ops/quantize.py); same float params. ``quantize="qat"`` is the
+    trainable twin: the body convs run in float on fake-quantized weights
+    and activations (straight-through estimator), so fine-tuning with it
+    pulls the float checkpoint onto the int8 grid that the ``int8``
+    serving path uses. SRCNN has no body stack (3 convs at HR resolution,
+    all quality-critical), so the flag is rejected there rather than
+    silently ignored."""
     if name not in _REGISTRY:
         raise ValueError(f"Unknown architecture: {name}")
     if quantize and name == "SRCNN":
         raise ValueError("quantize: SRCNN has no quantizable body stack")
-    if quantize not in ("", "int8", "int8_dot"):
+    if quantize not in ("", "int8", "int8_dot", "qat"):
         raise ValueError(f"Unknown quantize mode: {quantize!r}")
     return _REGISTRY[name](scale_factor, dtype, remat, quantize)
 
@@ -89,7 +93,7 @@ def model_for_params(params, scale_factor: int = 4, dtype: Any = None,
     arch = detect_architecture(params)
     if quantize and arch not in ("RESNET", "AttentionSR"):
         raise ValueError(f"quantize: {arch} has no quantizable body stack")
-    if quantize not in ("", "int8", "int8_dot"):
+    if quantize not in ("", "int8", "int8_dot", "qat"):
         raise ValueError(f"Unknown quantize mode: {quantize!r}")
     if arch == "SRCNN":
         return SRCNN(scale_factor=scale_factor,

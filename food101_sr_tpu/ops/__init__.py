@@ -8,6 +8,9 @@ from .resize import (
 )
 from .pixel_shuffle import pixel_shuffle
 from .quantize import (
+    fake_quant_act,
+    fake_quant_conv2d,
+    fake_quant_kernel,
     int8_conv2d,
     quantize_kernel_per_cout,
     quantize_per_sample,
@@ -26,6 +29,9 @@ __all__ = [
     "upsample_bicubic",
     "pixel_shuffle",
     "int8_conv2d",
+    "fake_quant_act",
+    "fake_quant_conv2d",
+    "fake_quant_kernel",
     "quantize_kernel_per_cout",
     "quantize_per_sample",
     "quantize_per_tensor",

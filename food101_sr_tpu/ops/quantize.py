@@ -26,10 +26,18 @@ Both produce bit-identical int32 accumulators (tests pin this), so the
 choice is purely a performance dispatch.
 
 Quantization is applied at inference time from the regular float params —
-checkpoints stay float, nothing about training changes. There is no QAT:
-for x4 SR the measured quality cost of a quantized body is fractions of a
-dB (tests/test_quantize.py pins the error envelope; serving reports the
-exact delta per checkpoint via predict/visualize's --quantize flag).
+checkpoints stay float, nothing about training changes for the plain
+``int8``/``int8_dot`` modes. For x4 SR the measured quality cost of a
+post-training quantized body is fractions of a dB (tests/test_quantize.py
+pins the error envelope; serving reports the exact delta per checkpoint
+via predict/visualize's --quantize flag).
+
+``quantize="qat"`` closes that remaining gap: the body convs run in float
+on *fake-quantized* weights and activations (the exact int8 grids above,
+applied as quantize->dequantize with a straight-through estimator), so a
+short fine-tune teaches the float params to sit on the int8 grid. The
+checkpoint stays float and loads into the ``int8`` serving path unchanged
+— QAT changes what the params converge to, not their format.
 
 The reference (torch) has no quantized path; this is a beyond-parity,
 TPU-first serving feature.
@@ -126,6 +134,66 @@ def int8_conv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
     wq, sw = quantize_kernel_per_cout(kernel)
     run = _int8_conv_direct if via == "conv" else _int8_conv_im2col
     y = run(xq, wq, s, pad).astype(jnp.float32) * (sx * sw)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Quantization-aware training (fake-quant with straight-through estimator)
+# ---------------------------------------------------------------------------
+
+def _ste(x_f32: jax.Array, dequantized: jax.Array) -> jax.Array:
+    """Straight-through estimator: forward = dequantized, grad = identity.
+
+    The round/clip in the quantizers has zero gradient almost everywhere;
+    treating the whole quantize->dequantize as identity for the backward
+    pass (the standard STE) lets SGD move params *through* grid steps.
+    The dynamic absmax scale is data-dependent; its gradient contribution
+    is dropped with the same stop_gradient (scale-gradient variants like
+    LSQ need learned-scale params, which would change the checkpoint tree).
+    """
+    return x_f32 + lax.stop_gradient(dequantized - x_f32)
+
+
+def fake_quant_act(x: jax.Array) -> jax.Array:
+    """Per-sample symmetric int8 fake-quant for NHWC activations (STE)."""
+    xf = x.astype(jnp.float32)
+    q, scale = quantize_per_sample(xf)
+    return _ste(xf, q.astype(jnp.float32) * scale).astype(x.dtype)
+
+
+def fake_quant_kernel(kernel: jax.Array) -> jax.Array:
+    """Per-output-channel symmetric int8 fake-quant for HWIO kernels (STE)."""
+    kf = kernel.astype(jnp.float32)
+    q, scales = quantize_kernel_per_cout(kf)
+    return _ste(kf, q.astype(jnp.float32) * scales).astype(kernel.dtype)
+
+
+def fake_quant_conv2d(x: jax.Array, kernel: jax.Array,
+                      bias: jax.Array | None = None, *,
+                      strides: int = 1) -> jax.Array:
+    """QAT twin of :func:`int8_conv2d`: float conv on fake-quantized tensors.
+
+    Forward numerics match int8_conv2d up to accumulation order (int32 is
+    exact; f32 conv of the identical dequantized values rounds per-MAC —
+    tests pin the envelope). Backward is the STE: gradients flow to the
+    float ``kernel``/``x`` as if the quantizers were identity, which is
+    what lets a fine-tune pull params onto the int8 grid. Same torch-style
+    (k-1)//2 padding and dtype contract as the float/int8 paths. The conv
+    runs at highest precision: fake-quantized values carry ~15 significant
+    bits (7-bit mantissa * shared scale), which a bf16 MXU pass would
+    re-round, defeating the point of matching the int8 grid.
+    """
+    k = kernel.shape[0]
+    p = (k - 1) // 2
+    xq = fake_quant_act(x).astype(jnp.float32)
+    wq = fake_quant_kernel(kernel).astype(jnp.float32)
+    y = lax.conv_general_dilated(
+        xq, wq, (strides, strides), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+    )
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(x.dtype)

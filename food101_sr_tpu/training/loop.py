@@ -92,6 +92,11 @@ DEFAULTS: dict[str, Any] = {
     "grad_accum": 1,            # k>1: each update = k sequential microbatches
                                 # of batch_size/k (same math, 1/k activation
                                 # HBM; supervised losses only)
+    "quantize": "",             # "qat": train with fake-quantized body convs
+                                # (STE) so the float checkpoint lands on the
+                                # int8 serving grid; "" = normal float body.
+                                # The inference-only int8/int8_dot modes are
+                                # rejected here (round/clip has zero grad).
     # Multi-host launch (parallel/distributed.py): same command on every
     # host; the mesh then spans all processes' devices and the loader
     # feeds each host its interleaved slice of the global batch.
@@ -207,7 +212,15 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
         )
 
     # --- model & states ---------------------------------------------------
-    model = get_model(cfg["architecture"], scale_factor=scale, dtype=dtype)
+    quantize = str(cfg.get("quantize") or "")
+    if quantize and quantize != "qat":
+        raise ValueError(
+            f"--quantize {quantize!r} is inference-only (serve/predict/"
+            f"visualize); training supports only 'qat' — int8 round/clip "
+            f"has zero gradient, so the body would silently never learn."
+        )
+    model = get_model(cfg["architecture"], scale_factor=scale, dtype=dtype,
+                      quantize=quantize)
     rng = jax.random.PRNGKey(cfg["seed"])
     dummy = jnp.zeros((1, crop // scale, crop // scale, 3), jnp.float32)
     variables = model.init({"params": rng}, dummy, train=False)

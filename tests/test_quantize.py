@@ -159,6 +159,95 @@ def test_quantize_rejected_for_srcnn_and_bad_mode():
         model_for_params(params, quantize="int8")
 
 
+# ---------------------------------------------------------------------------
+# QAT (fake-quant + straight-through estimator)
+# ---------------------------------------------------------------------------
+
+def test_fake_quant_ste_identity_gradient():
+    """Backward of quantize->dequantize is identity (the STE): without it,
+    round() has zero grad a.e. and a QAT body would never learn."""
+    from food101_sr_tpu.ops import fake_quant_act, fake_quant_kernel
+
+    x = _rand(30, (2, 6, 6, 8), scale=2.0)
+    gx = jax.grad(lambda t: jnp.sum(fake_quant_act(t)))(x)
+    np.testing.assert_array_equal(np.asarray(gx), np.ones_like(x))
+    w = _rand(31, (3, 3, 8, 4), scale=0.3)
+    gw = jax.grad(lambda t: jnp.sum(fake_quant_kernel(t)))(w)
+    np.testing.assert_array_equal(np.asarray(gw), np.ones_like(w))
+
+
+def test_fake_quant_conv_forward_matches_int8_conv():
+    """The QAT forward must see the numbers the int8 serving path will
+    produce — same grids, same scales; only f32-vs-int32 accumulation
+    order differs."""
+    from food101_sr_tpu.ops import fake_quant_conv2d
+
+    x = _rand(32, (2, 10, 10, 16))
+    w = _rand(33, (3, 3, 16, 12), scale=0.2)
+    b = _rand(34, (12,), scale=0.1)
+    y_int8 = int8_conv2d(x, w, b)
+    y_fake = fake_quant_conv2d(x, w, b)
+    np.testing.assert_allclose(np.asarray(y_fake), np.asarray(y_int8),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_qat_body_kernels_get_nonzero_gradients():
+    """The discriminating property vs the inference int8 path: under
+    quantize='qat' the BODY conv kernels receive usable (nonzero, finite)
+    gradients; under 'int8' they would be zero (round/clip grad)."""
+    m = get_model("AttentionSR", scale_factor=4, quantize="qat")
+    x = jnp.asarray(np.random.default_rng(3).uniform(0, 1, (2, 12, 12, 3)),
+                    jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    tgt = jnp.asarray(np.random.default_rng(4).uniform(0, 1, (2, 48, 48, 3)),
+                      jnp.float32)
+
+    def loss(params):
+        y = m.apply({**v, "params": params}, x, train=False)
+        return jnp.mean((y - tgt) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    body = g["res_0"]["conv1"]["conv"]["kernel"]
+    assert bool(jnp.all(jnp.isfinite(body)))
+    assert float(jnp.max(jnp.abs(body))) > 0.0
+    # param tree unchanged: same checkpoints load into the QAT model
+    t = jax.tree_util.tree_structure(
+        get_model("AttentionSR", scale_factor=4).init(
+            {"params": jax.random.PRNGKey(0)}, x, train=False))
+    assert jax.tree_util.tree_structure(v) == t
+
+
+def test_qat_train_step_decreases_loss():
+    from food101_sr_tpu.losses import mse_loss
+    from food101_sr_tpu.training import SRTrainState, make_adam, \
+        make_train_step
+
+    m = get_model("RESNET", scale_factor=2, quantize="qat")
+    hr = jnp.asarray(np.random.default_rng(5).integers(
+        0, 256, (4, 32, 32, 3), dtype=np.uint8))
+    v = m.init({"params": jax.random.PRNGKey(0)},
+               jnp.zeros((1, 8, 8, 3), jnp.float32), train=False)
+    state = SRTrainState.create(dict(v), make_adam(1e-3))
+    step = jax.jit(make_train_step(m, mse_loss, 2, "input_conv", "output_conv"))
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, hr)
+        losses.append(float(metrics["train_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+
+
+def test_train_rejects_inference_only_quantize_modes():
+    from food101_sr_tpu.training import train
+
+    with pytest.raises(ValueError, match="inference-only"):
+        train({"architecture": "RESNET", "dataset": "synthetic",
+               "synthetic_size": 96, "crop_size": 64, "scale_factor": 2,
+               "batch_size": 16, "epochs": 1, "loss_function": "mse",
+               "quantize": "int8", "use_wandb": False,
+               "run_name": "qat_reject"})
+
+
 def test_model_for_params_quantize_plumbs_through():
     m = get_model("AttentionSR", scale_factor=4)
     x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 12, 12, 3)),

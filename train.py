@@ -50,6 +50,14 @@ def parse_args():
                         "(losses are batch means; microbatch sample order/"
                         "RNG is position-keyed), 1/k the activation memory. "
                         "Supervised losses only")
+    p.add_argument("--quantize", type=str, default=DEFAULTS["quantize"],
+                   choices=["", "qat"],
+                   help="'qat': quantization-aware training — body convs "
+                        "run on fake-quantized (int8-grid, STE) weights/"
+                        "activations so the float checkpoint fine-tunes "
+                        "onto the grid the int8 serving path uses "
+                        "(serve/predict --quantize int8). RESNET/"
+                        "AttentionSR only")
     p.add_argument("--use_wandb", type=lambda s: s.lower() in ("1", "true"),
                    default=DEFAULTS["use_wandb"], nargs="?", const=True,
                    help="force W&B on/off (default: auto — on iff wandb is "
