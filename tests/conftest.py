@@ -32,6 +32,10 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # The axon TPU plugin in this environment IGNORES the JAX_PLATFORMS env var
 # (it re-registers at import), so jax.devices() would still return the real
 # TPU and anything mesh-shaped (make_mesh, train()) would run through the
-# remote tunnel. The config route does work — this makes tests genuinely
-# CPU-hermetic with the 8 virtual devices.
-jax.config.update("jax_platforms", "cpu")
+# remote tunnel. use_cpu_backend() applies the config route (which does
+# work), making tests genuinely CPU-hermetic with the 8 virtual devices —
+# and disables the persistent compile cache, whose XLA:CPU AOT entries
+# warn on every reload (see food101_sr_tpu.use_cpu_backend).
+import food101_sr_tpu  # noqa: E402
+
+assert food101_sr_tpu.use_cpu_backend()

@@ -19,7 +19,8 @@ import json, os, sys
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 os.environ["FOOD101_SR_RUN_DIR"] = sys.argv[4]
 import jax
-jax.config.update("jax_platforms", "cpu")
+import food101_sr_tpu
+food101_sr_tpu.use_cpu_backend()
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
 from food101_sr_tpu.training import train
 

@@ -306,9 +306,9 @@ def main():
     args = p.parse_args()
 
     if args.cpu:
-        import jax
+        import food101_sr_tpu
 
-        jax.config.update("jax_platforms", "cpu")
+        food101_sr_tpu.use_cpu_backend()
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     prior = {}

@@ -23,10 +23,13 @@ axon tunnel acks dispatches early; see CLAUDE.md).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -40,12 +43,13 @@ def main():
 
     import jax
 
+    import food101_sr_tpu  # fingerprint-keyed persistent cache (TPU path)
+
     if args.cpu:
         # the axon plugin ignores JAX_PLATFORMS (CLAUDE.md); the config knob
-        # is the reliable way to keep a smoke run off the chip
-        jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # is the reliable way to keep a smoke run off the chip. Also drops
+        # the persistent cache (XLA:CPU AOT entries warn on reload).
+        food101_sr_tpu.use_cpu_backend()
 
     import jax.numpy as jnp
     from jax import lax

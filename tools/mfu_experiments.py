@@ -123,8 +123,7 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import food101_sr_tpu  # noqa: F401  (fingerprint-keyed persistent cache)
     log(f"backend: {jax.devices()[0].platform} "
         f"({jax.devices()[0].device_kind})")
 

@@ -124,7 +124,9 @@ def main():
     args = ap.parse_args()
 
     if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+        import food101_sr_tpu
+
+        food101_sr_tpu.use_cpu_backend()
 
     if args.crop % args.scale:
         ap.error("--crop must be a multiple of --scale")

@@ -39,7 +39,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")  # bit-stable f32 comparison
+    import food101_sr_tpu
+
+    food101_sr_tpu.use_cpu_backend()  # bit-stable f32 comparison
     jax.config.update("jax_default_matmul_precision", "highest")
 
     import jax.numpy as jnp
