@@ -15,30 +15,207 @@ Prints ONE JSON line:
 
 Run directly: ``python bench.py``. Extra diagnostics go to stderr; stdout
 carries exactly the one JSON line the driver records.
+
+Outage-proofing (the driver contract must survive a down TPU tunnel —
+BENCH_r02.json recorded rc=124 with no JSON when it didn't):
+
+* The top-level process is a thin SUPERVISOR under a hard wall-clock
+  budget (``FOOD101_BENCH_BUDGET_S``, default 480 s). It never touches a
+  JAX backend itself, so it cannot hang in the axon plugin's ~25-minute
+  tunnel-retry loop.
+* Backend discovery runs in a bounded subprocess; if it times out or
+  fails, the benchmark falls back to the CPU backend with a CPU-SIZED
+  workload (tiny batch, one repeat, no torch baseline) — an honest small
+  number, tagged ``"platform": "cpu-fallback"``, instead of a timeout.
+* The measurement itself runs in a child process with the remaining
+  budget; a hung child (tunnel dying mid-run) is killed and rescued on
+  CPU. If everything fails, the supervisor still prints a tagged
+  ``"platform": "timeout-fallback"`` JSON line with value 0.
+* ``JAX_PLATFORMS=cpu`` in the environment skips the probe and goes
+  straight to the CPU-sized path (the offline regression test's hook —
+  the axon plugin ignores that env var, so inside the child the CPU pin
+  uses the config route, mirroring tests/conftest.py).
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
+# TPU-scale workload (the real measurement).
 BATCH = 512  # +2% over 256, flat beyond (measured: 2546 -> 2600 img/s)
 LR_SIZE = 50
 SCALE = 4
 N_SHORT, N_LONG = 5, 25
 REPEATS = 3
+TRAIN_BATCH = 128  # batch sweep on v5e: 64 -> 664 img/s, 128 -> 985,
+#                    256 -> 900 (VMEM pressure past 128); 128 is the knee
+GAN_BATCH, GAN_CROP = 32, 192
 
 # Fallback if torch is unavailable on the bench host: torch-CPU throughput
 # of the reference AttentionSR on this image (measured 2026-08-16 on the
 # 1-core driver host, batch 4, eval mode, fp32 — BENCH_r01.json).
 FALLBACK_BASELINE_IPS = 2.40
 
+WALL_BUDGET_S = float(os.environ.get("FOOD101_BENCH_BUDGET_S", "480"))
+PROBE_TIMEOUT_S = 120.0
+CPU_RESERVE_S = 90.0  # supervisor holds this back for the CPU rescue leg
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_tpu(quantize: str = "") -> tuple[float, str]:
+def apply_cpu_scale():
+    """Shrink the workload to what a 1-core CPU host finishes in ~a minute.
+
+    The round-2 outage proved the TPU-sized fallback (batch 512, 25-iter
+    runs, 3 repeats) can never finish on this class of host; these knobs
+    keep the CPU leg to a handful of small forwards.
+    """
+    global BATCH, N_SHORT, N_LONG, REPEATS, TRAIN_BATCH, GAN_BATCH, GAN_CROP
+    BATCH = 2
+    N_SHORT, N_LONG = 1, 3
+    REPEATS = 1
+    TRAIN_BATCH = 2
+    GAN_BATCH, GAN_CROP = 1, 64
+
+
+def parse_mode(argv):
+    """(mode, quantize) from CLI args; shared by supervisor and child."""
+    if "--input" in argv:
+        return "input", ""
+    if "--gan" in argv:
+        return "gan", ""
+    if "--train" in argv:
+        return "train", ""
+    quantize = ""
+    if "--quantize_dot" in argv:
+        quantize = "int8_dot"
+    elif "--quantize" in argv:
+        # accept the value form every other CLI uses (--quantize int8_dot);
+        # a bare --quantize means int8. Reject unknown modes loudly rather
+        # than silently benchmarking the wrong lowering.
+        i = argv.index("--quantize")
+        nxt = argv[i + 1] if i + 1 < len(argv) else ""
+        if nxt in ("int8", "int8_dot"):
+            quantize = nxt
+        elif nxt and not nxt.startswith("-"):
+            sys.exit(f"unknown --quantize mode {nxt!r} (int8|int8_dot)")
+        else:
+            quantize = "int8"
+    return "infer", quantize
+
+
+def metric_name(mode: str, quantize: str) -> tuple[str, str]:
+    """(metric, unit) for a mode — also used for the last-resort line."""
+    if mode == "input":
+        return "input_pipeline_host_throughput", "images/sec/core"
+    if mode == "gan":
+        return "attentionsr_x4_gan_train_throughput", "images/sec/chip"
+    if mode == "train":
+        return "attentionsr_x4_train_throughput", "images/sec/chip"
+    m = "attentionsr_x4_inference_throughput"
+    if quantize:
+        m += f"_{quantize}"
+    return m, "images/sec/chip"
+
+
+# --------------------------------------------------------------------------
+# supervisor — never initializes a JAX backend; owns the wall clock
+# --------------------------------------------------------------------------
+
+def _probe_platform(deadline: float) -> str:
+    """Bounded backend discovery in a subprocess.
+
+    jax.devices() through a down axon tunnel sits in a ~25-minute internal
+    retry loop; doing it in a killable child keeps the supervisor honest.
+    """
+    budget = min(PROBE_TIMEOUT_S, deadline - time.monotonic() - CPU_RESERVE_S)
+    if budget < 5:
+        log("probe: no budget left, assuming cpu")
+        return "cpu"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            timeout=budget, text=True,
+        )
+        lines = [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+        if r.returncode == 0 and lines:
+            log(f"probe: platform={lines[-1]}")
+            return lines[-1]
+        log(f"probe: rc={r.returncode}, assuming cpu")
+    except subprocess.TimeoutExpired:
+        log(f"probe: timed out after {budget:.0f}s, assuming cpu")
+    return "cpu"
+
+
+def _run_child(platform: str, timeout: float) -> dict | None:
+    """One measurement attempt in a child process; validated JSON or None."""
+    if timeout < 5:
+        return None
+    env = dict(os.environ)
+    env["FOOD101_BENCH_CHILD"] = "1"
+    env["FOOD101_BENCH_PLATFORM"] = platform
+    log(f"child[{platform}]: budget {timeout:.0f}s")
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            *sys.argv[1:]],
+                           stdout=subprocess.PIPE, timeout=timeout, text=True,
+                           env=env)
+    except subprocess.TimeoutExpired:
+        log(f"child[{platform}]: killed at {timeout:.0f}s budget")
+        return None
+    for ln in reversed(r.stdout.splitlines()):
+        ln = ln.strip()
+        if not ln:
+            continue
+        try:
+            obj = json.loads(ln)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and "metric" in obj:
+            return obj
+    log(f"child[{platform}]: rc={r.returncode}, no JSON line on stdout")
+    return None
+
+
+def supervise():
+    deadline = time.monotonic() + WALL_BUDGET_S
+    mode, quantize = parse_mode(sys.argv)
+
+    if mode == "input":
+        # host-only pipeline: no device, no probe; give it the full budget
+        result = _run_child("cpu", deadline - time.monotonic() - 5)
+    else:
+        if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+            platform = "cpu"  # regression-test hook; skip the probe
+            log("JAX_PLATFORMS=cpu set: skipping probe")
+        else:
+            platform = _probe_platform(deadline)
+        reserve = CPU_RESERVE_S if platform != "cpu" else 5
+        result = _run_child(platform,
+                            deadline - time.monotonic() - reserve)
+        if result is None and platform != "cpu":
+            result = _run_child("cpu", deadline - time.monotonic() - 5)
+
+    if result is None:
+        metric, unit = metric_name(mode, quantize)
+        result = {"metric": metric, "value": 0.0, "unit": unit,
+                  "vs_baseline": 0.0, "platform": "timeout-fallback"}
+        log("all measurement attempts failed; emitting tagged zero line")
+    print(json.dumps(result), flush=True)
+
+
+# --------------------------------------------------------------------------
+# child — the actual measurement, on a platform the supervisor picked
+# --------------------------------------------------------------------------
+
+def bench_tpu(quantize: str = "") -> float:
     """Overhead-cancelled device timing.
 
     The remote-TPU tunnel used by the driver acks dispatches before they
@@ -50,27 +227,12 @@ def bench_tpu(quantize: str = "") -> tuple[float, str]:
     cancels. Min-of-repeats rejects tunnel latency spikes.
     """
     import jax
-
-    # Persistent compile cache: the remote-TPU compile path can take minutes
-    # cold; cached, reruns are seconds.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     import jax.numpy as jnp
     import numpy as np
 
     from food101_sr_tpu.models import get_model
 
-    # When the remote-TPU tunnel is down, jax.devices() raises RuntimeError
-    # (after the plugin's ~25 min internal retry loop). The driver records
-    # stdout verbatim, so never die without the JSON line: fall back to the
-    # CPU backend and tag the result (an honest tiny number beats a crash).
-    try:
-        dev = jax.devices()[0]
-    except RuntimeError as e:
-        log(f"accelerator backend unavailable ({e}); falling back to CPU")
-        jax.config.update("jax_platforms", "cpu")
-        dev = jax.devices()[0]
+    dev = jax.devices()[0]
     log(f"jax backend: {dev.platform} ({dev.device_kind})")
 
     model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16,
@@ -110,7 +272,7 @@ def bench_tpu(quantize: str = "") -> tuple[float, str]:
     ips = BATCH / per_fwd
     log(f"ours: {ips:.1f} images/sec  ({per_fwd*1e3:.2f} ms / batch {BATCH}; "
         f"t_short={t_short*1e3:.0f}ms t_long={t_long*1e3:.0f}ms)")
-    return ips, dev.platform
+    return ips
 
 
 def bench_torch_reference() -> float | None:
@@ -204,9 +366,7 @@ def bench_torch_reference() -> float | None:
     return ips
 
 
-def bench_train_step(batch: int = 128) -> float:
-    # batch sweep on v5e: 64 -> 664 img/s, 128 -> 985, 256 -> 900 (VMEM
-    # pressure past 128); 128 is the knee.
+def bench_train_step(batch: int) -> float:
     """Supervised train-step throughput (AttentionSR + NLPD + Adam +
     in-graph diagnostics + on-device uint8 degradation) — the full hot
     path of ``train.py``. Same honest-timing scheme as bench_tpu."""
@@ -257,7 +417,7 @@ def bench_train_step(batch: int = 128) -> float:
     return ips
 
 
-def bench_gan_step(batch: int = 32, crop: int = 192) -> float:
+def bench_gan_step(batch: int, crop: int) -> float:
     """GAN trainer throughput: composite G step every batch + D step every
     5th (the reference cadence, train.py:87) — reported as effective
     images/sec."""
@@ -294,7 +454,9 @@ def bench_gan_step(batch: int = 32, crop: int = 192) -> float:
     _, _, gm = g_step(g_state, d_state, hr)
     float(total(gm["train_loss"]))
 
-    def timed(fn, n_s=3, n_l=15):
+    n_s, n_l = (1, 2) if REPEATS == 1 else (3, 15)  # REPEATS==1 => CPU scale
+
+    def timed(fn):
         def run(n):
             best = float("inf")
             for _ in range(REPEATS):
@@ -327,7 +489,6 @@ def bench_input_pipeline(n_images: int = 8, batches: int = 24,
     a real TPU-VM host scales linearly with its vCPUs (the loader's
     thread pool + GIL-released native decode are embarrassingly parallel).
     """
-    import os
     import tempfile
 
     import numpy as np
@@ -368,7 +529,6 @@ def bench_input_pipeline(n_images: int = 8, batches: int = 24,
         finally:
             if disable_native:
                 native._libs = saved
-
     run(False)  # warm page cache + thread pool
     ours, pil = run(False), run(True)
     log(f"input pipeline: native {ours:.0f} img/s/core, PIL-fallback "
@@ -376,70 +536,56 @@ def bench_input_pipeline(n_images: int = 8, batches: int = 24,
     return ours, pil
 
 
-def main():
-    if "--input" in sys.argv:
+def child_main():
+    mode, quantize = parse_mode(sys.argv)
+    platform = os.environ.get("FOOD101_BENCH_PLATFORM", "")
+    cpu = platform == "cpu"
+    if cpu and mode != "input":
+        # Pin BEFORE any backend init (the axon plugin ignores the
+        # JAX_PLATFORMS env var) and drop the persistent compile cache —
+        # its XLA:CPU AOT entries warn on every reload.
+        import food101_sr_tpu
+        food101_sr_tpu.use_cpu_backend()
+        apply_cpu_scale()
+        log(f"cpu-scale workload: batch {BATCH}, n {N_SHORT}/{N_LONG}, "
+            f"repeats {REPEATS}")
+
+    metric, unit = metric_name(mode, quantize)
+    if mode == "input":
         ours, pil = bench_input_pipeline()
-        print(json.dumps({
-            "metric": "input_pipeline_host_throughput",
-            "value": round(ours, 1),
-            "unit": "images/sec/core",
-            "vs_baseline": round(ours / pil, 2),
-        }))
-        return
-    if "--gan" in sys.argv:
-        ours = bench_gan_step()
-        print(json.dumps({
-            "metric": "attentionsr_x4_gan_train_throughput",
-            "value": round(ours, 1),
-            "unit": "images/sec/chip",
-            "vs_baseline": None,
-        }))
-        return
-    if "--train" in sys.argv:
-        # extra mode (not the driver's headline): full train-step throughput;
-        # no torch-side NLPD train baseline, so vs_baseline is omitted.
-        ours = bench_train_step()
-        print(json.dumps({
-            "metric": "attentionsr_x4_train_throughput",
-            "value": round(ours, 1),
-            "unit": "images/sec/chip",
-            "vs_baseline": None,
-        }))
-        return
-    quantize = ""
-    if "--quantize_dot" in sys.argv:
-        quantize = "int8_dot"
-    elif "--quantize" in sys.argv:
-        # accept the value form every other CLI uses (--quantize int8_dot);
-        # a bare --quantize means int8. Reject unknown modes loudly rather
-        # than silently benchmarking the wrong lowering.
-        i = sys.argv.index("--quantize")
-        nxt = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
-        if nxt in ("int8", "int8_dot"):
-            quantize = nxt
-        elif nxt and not nxt.startswith("-"):
-            sys.exit(f"unknown --quantize mode {nxt!r} (int8|int8_dot)")
+        line = {"metric": metric, "value": round(ours, 1), "unit": unit,
+                "vs_baseline": round(ours / pil, 2)}
+    elif mode == "gan":
+        line = {"metric": metric, "value": round(bench_gan_step(
+            GAN_BATCH, GAN_CROP), 1), "unit": unit, "vs_baseline": None}
+    elif mode == "train":
+        # extra mode (not the driver's headline): full train-step
+        # throughput; no torch-side NLPD train baseline, so no vs_baseline.
+        line = {"metric": metric, "value": round(bench_train_step(
+            TRAIN_BATCH), 1), "unit": unit, "vs_baseline": None}
+    else:
+        ours = bench_tpu(quantize)
+        if cpu:
+            baseline = FALLBACK_BASELINE_IPS  # torch re-measure wastes the
+            # tiny CPU budget; the recorded same-host number is the baseline
         else:
-            quantize = "int8"
-    ours, platform = bench_tpu(quantize)
-    baseline = bench_torch_reference()
-    if baseline is None:
-        baseline = FALLBACK_BASELINE_IPS
-    vs = round(ours / baseline, 2) if baseline else None
-    metric = "attentionsr_x4_inference_throughput"
-    if quantize:
-        metric += f"_{quantize}"
-    line = {
-        "metric": metric,
-        "value": round(ours, 1),
-        "unit": "images/sec/chip",
-        "vs_baseline": vs,
-    }
-    if platform == "cpu":
-        # tunnel-down fallback: never let a CPU number masquerade as a
-        # chip measurement in the recorded history
+            baseline = bench_torch_reference()
+            if baseline is None:
+                baseline = FALLBACK_BASELINE_IPS
+        line = {"metric": metric, "value": round(ours, 1), "unit": unit,
+                "vs_baseline": round(ours / baseline, 2) if baseline else None}
+    if cpu and mode != "input":
+        # never let a CPU number masquerade as a chip measurement in the
+        # recorded history
         line["platform"] = "cpu-fallback"
-    print(json.dumps(line))
+    print(json.dumps(line), flush=True)
+
+
+def main():
+    if os.environ.get("FOOD101_BENCH_CHILD") == "1":
+        child_main()
+    else:
+        supervise()
 
 
 if __name__ == "__main__":
