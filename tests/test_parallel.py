@@ -81,9 +81,18 @@ def test_dp_matches_single_device(mesh8):
 
 
 def test_graft_entry_contract():
+    import time
+
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 200, 200, 3)
+    # Wall-clock budget (VERDICT r2): the driver runs dryrun_multichip under
+    # a timeout on this same 1-core host; round 2's compile pile (six
+    # full-size jitted programs) outgrew it. The slimmed dry run must stay
+    # comfortably inside — a regression here means MULTICHIP_r0N goes red.
+    t0 = time.monotonic()
     ge.dryrun_multichip(8)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 600, f"dryrun_multichip took {elapsed:.0f}s (>600s)"
