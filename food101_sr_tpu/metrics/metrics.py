@@ -133,6 +133,10 @@ class MetricsCalculator:
 
     def __init__(self, weights_dir: str | None = None):
         self._lpips = LPIPSAlex(weights_dir=weights_dir)
+        # Surfaced so callers (and tests) can tell whether logged lpips
+        # values are reference-comparable or the seeded/uniform fallback.
+        self.pretrained = self._lpips.pretrained
+        self.heads_pretrained = self._lpips.heads_pretrained
 
         @jax.jit
         def _compute(sr, hr):
