@@ -90,8 +90,12 @@ DEFAULTS: dict[str, Any] = {
     "ema": 0.0,                 # >0: EMA decay for generator params; EMA
                                 # weights are validated and checkpointed
     "grad_accum": 1,            # k>1: each update = k sequential microbatches
-                                # of batch_size/k (same math, 1/k activation
-                                # HBM; supervised losses only)
+                                # of batch_size/k (1/k activation HBM;
+                                # supervised losses only). Same math as the
+                                # unsplit batch for BN-free models; RESNET's
+                                # train-mode BN normalizes per-microbatch,
+                                # so its grads/running stats legitimately
+                                # differ (see tests/test_grad_accum.py)
     "quantize": "",             # "qat": train with fake-quantized body convs
                                 # (STE) so the float checkpoint lands on the
                                 # int8 serving grid; "" = normal float body.

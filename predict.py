@@ -99,6 +99,11 @@ def main():
                    help="dynamic-int8 body convs (see serve.py --quantize)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile shape buckets before timing")
+    p.add_argument("--strict", action="store_true",
+                   help="exit 1 if ANY image fails (default: per-file "
+                        "failure isolation — exit 0 with a nonzero "
+                        "'failed' count in the JSON summary unless every "
+                        "image failed)")
     args = p.parse_args()
 
     paths, empty = collect_inputs(args.inputs)
@@ -155,7 +160,7 @@ def main():
         "scale": server.scale,
         "tta": bool(args.tta),
     }))
-    if failures and not n_ok:
+    if failures and (args.strict or not n_ok):
         sys.exit(1)
 
 

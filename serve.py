@@ -223,7 +223,11 @@ class SRServer:
         self.arch = architecture
         # Halo must cover the receptive-field radius or tiling is no longer
         # exact (seam artifacts); depth-aware for --architecture auto
-        # checkpoints deeper than the registry shapes.
+        # checkpoints deeper than the registry shapes. Under --quantize the
+        # guarantee weakens to exact-up-to-quantization-error: dynamic
+        # per-sample activation scales depend on tile content, so the same
+        # pixel in adjacent overlapping tiles lands on slightly different
+        # int8 grids (float paths remain bit-exact).
         self.halo = receptive_radius(architecture, self.model)
         # uint8 in / uint8 out: ToTensor and the 255-quantization both run
         # on device, so host<->device traffic is 4x smaller than shipping
@@ -509,7 +513,12 @@ def main():
                         "inference (ops/quantize.py; same checkpoints, "
                         "~42-45 dB quantization SNR measured on the winner "
                         "weights). int8_dot selects the im2col+matmul "
-                        "lowering where int8 convs aren't native.")
+                        "lowering where int8 convs aren't native. NB: halo "
+                        "tiling of large inputs is exact only up to "
+                        "quantization error here — per-sample activation "
+                        "scales depend on tile content, so adjacent tiles "
+                        "quantize the same pixel on slightly different "
+                        "int8 grids.")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8700)
     a = p.parse_args()

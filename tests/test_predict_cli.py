@@ -75,6 +75,24 @@ def test_predict_end_to_end_small_and_tiled(tmp_path, capsys, monkeypatch):
     assert "FAILED" in captured.err and "corrupt.jpg" in captured.err
 
 
+def test_predict_strict_exits_nonzero_on_partial_failure(tmp_path,
+                                                         monkeypatch):
+    # Default: partial failure exits 0 (per-file isolation; the JSON
+    # summary carries the failed count). --strict flips that for scripted
+    # callers that gate on the exit code (ADVICE r2).
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_png(src / "ok.png", 8, 8, seed=1)
+    (src / "bad.png").write_bytes(b"nope")
+    argv = ["predict.py", str(src), "--out_dir", str(tmp_path / "out"),
+            "--architecture", "SRCNN", "--tile", "16", "--strict"]
+    monkeypatch.setattr(sys, "argv", argv)
+    with pytest.raises(SystemExit) as e:
+        predict.main()
+    assert e.value.code == 1
+    assert (tmp_path / "out" / "ok_x4.png").exists()  # good file still done
+
+
 def test_predict_all_failures_exits_nonzero(tmp_path, monkeypatch):
     src = tmp_path / "in"
     src.mkdir()

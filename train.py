@@ -46,9 +46,14 @@ def parse_args():
                         "weights are validated and checkpointed. 0 = off")
     p.add_argument("--grad_accum", type=int, default=DEFAULTS["grad_accum"],
                    help="accumulate gradients over k microbatches of "
-                        "batch_size/k per optimizer update — same math "
-                        "(losses are batch means; microbatch sample order/"
-                        "RNG is position-keyed), 1/k the activation memory. "
+                        "batch_size/k per optimizer update — 1/k the "
+                        "activation memory. Exactly the unsplit-batch math "
+                        "for BN-free models (SRCNN/AttentionSR: losses are "
+                        "batch means; microbatch sample order/RNG is "
+                        "position-keyed); RESNET's train-mode BatchNorm "
+                        "normalizes each microbatch by its own statistics, "
+                        "so grads/running stats differ from the big-batch "
+                        "update (sequential small-batch BN semantics). "
                         "Supervised losses only")
     p.add_argument("--quantize", type=str, default=DEFAULTS["quantize"],
                    choices=["", "qat"],
