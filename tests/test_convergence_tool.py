@@ -77,6 +77,12 @@ def test_convergence_parity_tool_end_to_end(tmp_path):
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     summary = json.loads(out.read_text())
     assert summary["ok"]
+    # the verdict is directional: an ours lead is "ours_ahead" (match-or-beat
+    # goal), never a parity failure; only "torch_ahead" fails the gate
+    assert summary["verdict"] in ("indistinguishable", "ours_ahead",
+                                  "torch_ahead")
+    assert summary["gap_signed_db"] == pytest.approx(
+        summary["ours_mean_test_psnr"] - summary["torch"]["test_psnr"])
     assert summary["torch"]["epochs_ran"] == 1
     assert len(summary["ours"]) == 1
     for side in (summary["torch"], summary["ours"][0]):
