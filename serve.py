@@ -180,6 +180,7 @@ class SRServer:
         self.scale = scale
         self.tile = tile
         self.png_level = png_level
+        self.quantize = quantize
         if architecture == "auto":
             # Infer the network (incl. non-registry width/depth variants)
             # from the checkpoint's tensor shapes — checkpoints carry no
@@ -382,6 +383,7 @@ def make_handler(server, default: str | None = None):
                         "device": jax.devices()[0].platform,
                         "models": {n: {"architecture": s.arch,
                                        "scale": s.scale,
+                                       "quantize": s.quantize,
                                        "served": s.n_served}
                                    for n, s in servers.items()}}
                 if len(servers) == 1:  # single-model back-compat shape
@@ -523,11 +525,11 @@ def main():
     p.add_argument("--port", type=int, default=8700)
     a = p.parse_args()
 
-    def build(arch, ckpt):
+    def build(arch, ckpt, quantize=None):
         return SRServer(arch, ckpt or None, a.scale_factor, a.tile,
                         png_level=a.png_level, use_mesh=a.mesh,
                         max_batch=a.max_batch, tta=a.tta,
-                        quantize=a.quantize)
+                        quantize=a.quantize if quantize is None else quantize)
 
     if a.model:
         # validate every spec BEFORE building any server: construction can
@@ -543,7 +545,28 @@ def main():
             if any(n == name for n, _, _ in specs):
                 p.error(f"--model: duplicate name {name!r}")
             specs.append((name, arch, ckpt))
-        zoo = {name: build(arch, ckpt) for name, arch, ckpt in specs}
+
+        def build_spec(name, arch, ckpt):
+            # In a zoo, --quantize means "quantize what can be quantized":
+            # SRCNN has no body stack (registry rejects it), so it serves
+            # float alongside the quantized models instead of killing the
+            # whole zoo. Single-model --quantize stays strict.
+            q = a.quantize
+            if q and arch == "SRCNN":
+                print(f"--quantize {q}: model {name!r} (SRCNN) has no "
+                      f"quantizable body stack; serving it in float")
+                q = ""
+            try:
+                return build(arch, ckpt, q)
+            except ValueError as e:
+                if q and "quantizable" in str(e):  # auto@ckpt -> SRCNN
+                    print(f"--quantize {q}: model {name!r} ({arch}) is not "
+                          f"quantizable; serving it in float")
+                    return build(arch, ckpt, "")
+                raise
+
+        zoo = {name: build_spec(name, arch, ckpt)
+               for name, arch, ckpt in specs}
         srv = zoo
         default = next(iter(zoo))
         to_warm = list(zoo.values())

@@ -282,6 +282,81 @@ def test_tta_serving_matches_library_ensemble(server):
     assert np.abs(a - ref8).max() <= 1
 
 
+def test_zoo_quantize_skips_unquantizable(server, tmp_path):
+    """serve.py CLI: in a --model zoo, --quantize int8 applies only to
+    quantizable archs; SRCNN (explicit or auto-detected from a checkpoint)
+    serves float with a loud note instead of killing the whole zoo
+    (regression: the zoo used to die on the registry's SRCNN rejection)."""
+    import json as _json
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    import serve
+    from food101_sr_tpu.training import save_checkpoint
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    params = server.variables["params"]
+    extra = {k: v for k, v in server.variables.items() if k != "params"}
+    ckpt = save_checkpoint({"params": params, "extra": extra},
+                           str(tmp_path / "srcnn_ckpt"))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "serve.py",
+         "--model", "fast=SRCNN", "--model", f"auto_s=auto@{ckpt}",
+         "--model", "best=RESNET", "--quantize", "int8",
+         "--tile", "16", "--max_batch", "2", "--port", str(port)],
+        cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        deadline = time.time() + 420  # cold CPU compiles for 3 models
+        h = None
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"serve.py died rc={proc.returncode}:\n"
+                    f"{proc.stdout.read()[-4000:]}")
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=5) as r:
+                    h = _json.loads(r.read())
+                break
+            except (urllib.error.URLError, OSError):
+                time.sleep(1.0)
+        assert h is not None, "server never came up"
+        assert set(h["models"]) == {"fast", "auto_s", "best"}
+        # only the quantizable arch got the int8 body
+        assert h["models"]["best"]["quantize"] == "int8"
+        assert h["models"]["fast"]["quantize"] == ""
+        assert h["models"]["auto_s"]["quantize"] == ""
+        assert h["models"]["auto_s"]["architecture"] == "SRCNN"
+        # every model actually serves
+        buf = io.BytesIO()
+        _img(16, 16, seed=91).save(buf, format="PNG")
+        body = buf.getvalue()
+        for name in ("fast", "auto_s", "best"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/sr?model={name}", data=body,
+                method="POST")
+            with urllib.request.urlopen(req, timeout=600) as r:
+                out = np.asarray(Image.open(io.BytesIO(r.read())))
+            assert out.shape == (64, 64, 3)
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            out, _ = proc.communicate(timeout=60)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out, _ = proc.communicate()
+    # both float fallbacks announced themselves loudly
+    assert out.count("serving it in float") == 2, out[-4000:]
+
+
 def test_multi_model_routing(server):
     """?model= routes between models in one process; unknown -> 404;
     healthz/statz report the zoo."""

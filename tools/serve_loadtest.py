@@ -42,12 +42,19 @@ def main():
     p.add_argument("--height", type=int, default=40)
     p.add_argument("--warmup", type=int, default=8,
                    help="untimed requests first (compile + cache warm)")
+    p.add_argument("--model", action="append", default=[],
+                   help="route via /sr?model=NAME; repeat to round-robin "
+                        "across models (exercises serve.py --model "
+                        "multi-model routing under load)")
     a = p.parse_args()
 
     body = make_image(a.width, a.height)
     local = threading.local()  # one keep-alive connection per worker
 
-    def one(_):
+    def one(i):
+        path = "/sr"
+        if a.model:
+            path = f"/sr?model={a.model[i % len(a.model)]}"
         t0 = time.perf_counter()
         for attempt in (0, 1):  # reconnect once on a dropped keep-alive
             conn = getattr(local, "conn", None)
@@ -55,7 +62,7 @@ def main():
                 conn = http.client.HTTPConnection(a.host, a.port, timeout=600)
                 local.conn = conn
             try:
-                conn.request("POST", "/sr", body=body)
+                conn.request("POST", path, body=body)
                 out = conn.getresponse().read()
                 break
             except (http.client.HTTPException, OSError):
@@ -75,13 +82,16 @@ def main():
     def pct(q):
         return lat[min(len(lat) - 1, int(q * len(lat)))] * 1e3
 
-    print(json.dumps({
+    line = {
         "requests": a.requests, "concurrency": a.concurrency,
         "req_per_s": round(a.requests / wall, 2),
         "p50_ms": round(pct(0.50), 1), "p95_ms": round(pct(0.95), 1),
         "max_ms": round(pct(1.0), 1),
         "image": f"{a.width}x{a.height}",
-    }))
+    }
+    if a.model:
+        line["models"] = a.model
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
