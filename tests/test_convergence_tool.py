@@ -91,6 +91,7 @@ def test_convergence_parity_tool_end_to_end(tmp_path):
     # --resume_ours picks up the rolling _last checkpoint r1 left behind
     # (here at the final epoch, so the leg re-evals without retraining —
     # the train-more-after-resume half is pinned by tests/test_resume.py)
+    seed0_prior = summary["ours"][0]
     r2 = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools/convergence_parity.py"),
          "--data_root", str(tree), "--architecture", "SRCNN",
@@ -103,8 +104,52 @@ def test_convergence_parity_tool_end_to_end(tmp_path):
     assert r2.returncode == 0, r2.stdout[-2000:] + r2.stderr[-2000:]
     assert "reusing" in r2.stdout
     assert "resuming from" in r2.stdout
+    # --extend_seeds: the recorded seed is reused verbatim (never retrained),
+    # only the missing seed trains
+    r2b = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/convergence_parity.py"),
+         "--data_root", str(tree), "--architecture", "SRCNN",
+         "--loss", "mse", "--epochs", "1", "--seeds", "2",
+         "--crop_size", "48", "--batch_size", "8", "--cpu",
+         "--weights_dir", str(tmp_path / "w"),
+         "--tolerance", "1e9", "--skip_torch", "--extend_seeds",
+         "--out", str(out)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert r2b.returncode == 0, r2b.stdout[-2000:] + r2b.stderr[-2000:]
+    assert "reusing seeds [0]" in r2b.stdout
+    ext = json.loads(out.read_text())
+    assert len(ext["ours"]) == 2
+    assert ext["ours"][0] == seed0_prior  # reused verbatim, not retrained
+    assert ext["ours"][1]["seed"] == 1
+    # --extend_seeds without --skip_torch is a config error (reused seeds
+    # are only comparable against the recorded torch leg)
+    r2c = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/convergence_parity.py"),
+         "--data_root", str(tree), "--architecture", "SRCNN",
+         "--loss", "mse", "--epochs", "1", "--seeds", "2",
+         "--crop_size", "48", "--batch_size", "8", "--cpu",
+         "--tolerance", "1e9", "--extend_seeds", "--out", str(out)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert r2c.returncode != 0
+    assert "requires --skip_torch" in r2c.stderr
     # our-side checkpoints went to --weights_dir, not the repo
     assert (tmp_path / "w" / "convpar_SRCNN_mse_s0_best").is_dir()
+    # --seeds 0: torch-only leg (second --torch_seed measures the reference
+    # loop's own variance) — records torch + seed, no verdict, exit 0
+    out_t1 = tmp_path / "torch_s1.json"
+    r2d = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/convergence_parity.py"),
+         "--data_root", str(tree), "--architecture", "SRCNN",
+         "--loss", "mse", "--epochs", "1", "--seeds", "0",
+         "--crop_size", "48", "--batch_size", "8", "--torch_seed", "1",
+         "--out", str(out_t1)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert r2d.returncode == 0, r2d.stdout[-2000:] + r2d.stderr[-2000:]
+    t1 = json.loads(out_t1.read_text())
+    assert t1["torch_seed"] == 1
+    assert 0.0 < t1["torch"]["test_psnr"] < 100.0
+    assert "ours" not in t1 and "verdict" not in t1
+
     # --skip_torch refuses a record from a DIFFERENT leg (a stale torch
     # number must never produce a mislabeled verdict)
     r3 = subprocess.run(

@@ -294,6 +294,11 @@ def main():
                         "rolling <tag>_last checkpoints (exact-replay "
                         "resume; tests/test_resume.py pins resumed == "
                         "uninterrupted)")
+    p.add_argument("--extend_seeds", action="store_true",
+                   help="widen the seed band without retraining: reuse the "
+                        "per-seed results already recorded in --out (same "
+                        "config, guarded like --skip_torch) and train only "
+                        "the seeds the record lacks; requires --skip_torch")
     p.add_argument("--weights_dir", default="weights",
                    help="where our side's checkpoints land (legs are named "
                         "convpar_<arch>_<loss>_s<seed> so legs don't "
@@ -305,6 +310,9 @@ def main():
     p.add_argument("--out", default="runs/convergence_parity.json")
     args = p.parse_args()
 
+    if args.extend_seeds and not args.skip_torch:
+        p.error("--extend_seeds requires --skip_torch (reused seeds are "
+                "only comparable against the recorded torch leg)")
     if args.cpu:
         import food101_sr_tpu
 
@@ -333,7 +341,26 @@ def main():
     else:
         ref = train_reference_torch(args)
 
-    ours = [train_ours(args, seed) for seed in range(args.seeds)]
+    prior_ours = {}
+    if args.extend_seeds:
+        # seed results are only reusable against the same torch leg/config;
+        # the --skip_torch config guard above already enforced both
+        prior_ours = {o["seed"]: o for o in prior.get("ours", [])}
+        if prior_ours:
+            print(f"[ours] reusing seeds {sorted(prior_ours)} from {args.out}")
+    ours = [prior_ours.get(seed) or train_ours(args, seed)
+            for seed in range(args.seeds)]
+    if not ours:
+        # --seeds 0: torch-only leg (e.g. a second --torch_seed to measure
+        # the reference loop's own seed variance); record it with no verdict
+        summary = {"config": cfg_now, "torch": ref,
+                   "torch_seed": args.torch_seed}
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
+        print(f"\ntorch-only leg [{args.architecture}/{args.loss}] "
+              f"seed {args.torch_seed}: test PSNR {ref['test_psnr']:.3f} dB "
+              f"-> {args.out} (no verdict)")
+        return
     ours_test = [o["test_psnr"] for o in ours]
     mean_ours = float(np.mean(ours_test))
     band = float(max(ours_test) - min(ours_test)) if len(ours_test) > 1 else 0.0
