@@ -235,8 +235,11 @@ def bench_tpu(quantize: str = "") -> float:
     dev = jax.devices()[0]
     log(f"jax backend: {dev.platform} ({dev.device_kind})")
 
+    # phase_tail matches the production serving path (serve.py default):
+    # the upsample tail fused in pixel-shuffle phase space — exact same
+    # math/params, measured +9% on v5e (DESIGN.md §2)
     model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16,
-                      quantize=quantize)
+                      quantize=quantize, phase_tail=True)
     variables = model.init(
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, LR_SIZE, LR_SIZE, 3), jnp.float32),

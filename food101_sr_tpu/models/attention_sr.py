@@ -22,6 +22,11 @@ class AttentionSR(nn.Module):
     quantize: str = ""   # "int8"/"int8_dot": dynamic-int8 BODY convs for
                          # inference (head/tail convs stay full precision;
                          # ops/quantize.py — inference-only, params unchanged)
+    phase_tail: bool = False  # fused phase-space upsample tail: every tail
+                              # conv runs at LR resolution in pixel-shuffle
+                              # phase space (ops/subpixel_conv.phase_conv2d),
+                              # one shuffle at the very end — exact math,
+                              # same params, no intermediate HR copies
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -40,6 +45,15 @@ class AttentionSR(nn.Module):
         assert self.scale_factor >= 2 and \
             self.scale_factor & (self.scale_factor - 1) == 0, \
             "tail is built from x2 stages: scale must be a power of two"
+        if self.phase_tail:
+            r_acc = 1
+            for i in range(self.scale_factor.bit_length() - 1):
+                x = UpsampleBlock(out_channels=64, scale=2, dtype=self.dtype,
+                                  phase_in=r_acc, name=f"up_{i}")(x)
+                r_acc *= 2
+            return Conv(3, 9, dtype=self.dtype,
+                        subpixel_r=self.scale_factor, phase_in=r_acc,
+                        name="output_conv")(x)
         for i in range(self.scale_factor.bit_length() - 1):
             x = UpsampleBlock(out_channels=64, scale=2, dtype=self.dtype,
                               name=f"up_{i}")(x)

@@ -62,10 +62,15 @@ def icnr_kaiming_normal(scale: int) -> Callable:
 
 class _RawConv(nn.Module):
     """Owns ``kernel``/``bias`` params (same tree as ``nn.Conv``) and picks
-    the compute path: direct conv, or the subpixel phase decomposition for
-    few-output-channel tails (``subpixel_r``), which fills the MXU's 128
+    the compute path: direct conv, the subpixel phase decomposition for
+    few-output-channel tails (``subpixel_r``) — which fills the MXU's 128
     lanes instead of wasting 125 of them on a 3-channel contraction
-    (measured 2.9x on the SR tail conv9 64->3 at 200px; ops/subpixel_conv).
+    (measured 2.9x on the SR tail conv9 64->3 at 200px; ops/subpixel_conv) —
+    or the fused phase-space form (``phase_in``): the input already lives in
+    ``phase_in``-phase pixel-shuffle channel layout at LR resolution and the
+    HR conv is computed there without ever materializing the shuffle
+    (ops/subpixel_conv.phase_conv2d; the param tree is the HR conv's —
+    checkpoints unchanged).
     """
 
     features: int
@@ -76,11 +81,15 @@ class _RawConv(nn.Module):
     dtype: Dtype
     subpixel_r: int
     quantize: str = ""
+    phase_in: int = 0          # >1: input is ps-layout phase space at this r
+    phase_out_perm: tuple | None = None  # static out-channel re-index
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         cin = x.shape[-1]
+        if self.phase_in > 1:
+            cin //= self.phase_in * self.phase_in  # param shape = HR conv's
         kernel = self.param("kernel", self.kernel_init,
                             (k, k, cin, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
@@ -89,6 +98,18 @@ class _RawConv(nn.Module):
         xc = x.astype(dtype)
         kc = kernel.astype(dtype)
         bc = bias.astype(dtype) if bias is not None else None
+
+        if self.phase_in > 1:
+            assert self.strides == 1 and not self.quantize, \
+                "phase-space convs are stride-1 full-precision tail ops"
+            from ..ops.subpixel_conv import phase_conv2d
+
+            # subpixel_r doubles as "materialize the HR image here" — the
+            # tail's final conv; otherwise stay in phase space for the next
+            # stage (out_perm keeps the accumulated-phase layout canonical)
+            return phase_conv2d(xc, kc, bc, self.phase_in,
+                                out_perm=self.phase_out_perm,
+                                shuffle_out=self.subpixel_r > 1)
 
         if self.quantize == "qat":  # fake-quant + STE, trainable
             from ..ops.quantize import fake_quant_conv2d
@@ -137,6 +158,8 @@ class Conv(nn.Module):
     dtype: Dtype = None
     subpixel_r: int = 0
     quantize: str = ""  # "" | "int8" | "int8_dot" (inference) | "qat" (training)
+    phase_in: int = 0   # >1: fused phase-space tail conv (see _RawConv)
+    phase_out_perm: tuple | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -149,6 +172,8 @@ class Conv(nn.Module):
             dtype=self.dtype,
             subpixel_r=self.subpixel_r,
             quantize=self.quantize,
+            phase_in=self.phase_in,
+            phase_out_perm=self.phase_out_perm,
             name="conv",
         )(x)
 
@@ -293,15 +318,39 @@ class AttentionResidualBlock(nn.Module):
 class UpsampleBlock(nn.Module):
     """conv3x3 (ICNR init) -> PixelShuffle(r) -> PReLU — one x2 stage of the
     post-upsampling tail shared by ResNetSR/AttentionSR
-    (reference src/models.py:116-123,160-167)."""
+    (reference src/models.py:116-123,160-167).
+
+    ``phase_in`` runs the stage entirely in phase space: the input is
+    ``phase_in``-phase pixel-shuffle channel layout at LR resolution and the
+    output is ``phase_in*scale``-phase layout, with NO shuffle materialized
+    — the stage's own shuffle folds into a static output-channel
+    permutation of the rearranged kernel, and PReLU's scalar slope commutes
+    with any channel layout. Same params either way.
+    """
 
     out_channels: int = 64
     scale: int = 2
     dtype: Dtype = None
+    phase_in: int = 0  # 0/1 = materialized stage; >=1 with phase output
 
     @nn.compact
     def __call__(self, x):
         r2 = self.scale * self.scale
+        if self.phase_in >= 1:
+            from ..ops.subpixel_conv import merge_phase_perm
+
+            perm = (merge_phase_perm(self.out_channels * r2, self.phase_in,
+                                     self.scale)
+                    if self.phase_in > 1 else None)
+            # phase_in == 1: an ordinary conv whose raw output channels ARE
+            # the scale-phase pixel-shuffle layout already — no perm needed
+            x = Conv(
+                self.out_channels * r2, 3,
+                kernel_init=icnr_kaiming_normal(self.scale),
+                dtype=self.dtype, phase_in=self.phase_in,
+                phase_out_perm=perm, name="conv",
+            )(x)
+            return PReLU(name="prelu")(x)
         x = Conv(
             self.out_channels * r2, 3,
             kernel_init=icnr_kaiming_normal(self.scale),

@@ -16,22 +16,24 @@ from .srcnn import SRCNN
 from .resnet_sr import ResNetSR
 
 _REGISTRY = {
-    "SRCNN": lambda scale, dtype, remat, quantize: SRCNN(
+    "SRCNN": lambda scale, dtype, remat, quantize, phase_tail: SRCNN(
         scale_factor=scale, hidden_dim=64, dtype=dtype
     ),
-    "RESNET": lambda scale, dtype, remat, quantize: ResNetSR(
+    "RESNET": lambda scale, dtype, remat, quantize, phase_tail: ResNetSR(
         scale_factor=scale, num_residuals=16, num_channels=64, dtype=dtype,
-        remat=remat, quantize=quantize,
+        remat=remat, quantize=quantize, phase_tail=phase_tail,
     ),
-    "AttentionSR": lambda scale, dtype, remat, quantize: AttentionSR(
+    "AttentionSR": lambda scale, dtype, remat, quantize, phase_tail:
+    AttentionSR(
         scale_factor=scale, num_residuals=32, num_channels=96, dtype=dtype,
-        remat=remat, quantize=quantize,
+        remat=remat, quantize=quantize, phase_tail=phase_tail,
     ),
 }
 
 
 def get_model(name: str, scale_factor: int = 4, dtype: Any = None,
-              remat: bool = False, quantize: str = "") -> nn.Module:
+              remat: bool = False, quantize: str = "",
+              phase_tail: bool = False) -> nn.Module:
     """``remat=True`` rematerializes residual blocks in the backward pass
     (jax.checkpoint), trading ~20% step time (measured on v5e at batch
     128-512, crop 200) for O(depth) less activation HBM. At the reference
@@ -47,14 +49,20 @@ def get_model(name: str, scale_factor: int = 4, dtype: Any = None,
     pulls the float checkpoint onto the int8 grid that the ``int8``
     serving path uses. SRCNN has no body stack (3 convs at HR resolution,
     all quality-critical), so the flag is rejected there rather than
-    silently ignored."""
+    silently ignored.
+
+    ``phase_tail=True`` runs the ResNetSR/AttentionSR upsample tail fused
+    in pixel-shuffle phase space at LR resolution (exact math, same params
+    and checkpoints — measured +9% AttentionSR x4 inference on v5e;
+    ops/subpixel_conv.phase_conv2d). SRCNN pre-upsamples (no tail), so the
+    flag is a no-op there."""
     if name not in _REGISTRY:
         raise ValueError(f"Unknown architecture: {name}")
     if quantize and name == "SRCNN":
         raise ValueError("quantize: SRCNN has no quantizable body stack")
     if quantize not in ("", "int8", "int8_dot", "qat"):
         raise ValueError(f"Unknown quantize mode: {quantize!r}")
-    return _REGISTRY[name](scale_factor, dtype, remat, quantize)
+    return _REGISTRY[name](scale_factor, dtype, remat, quantize, phase_tail)
 
 
 def model_names():
@@ -78,7 +86,8 @@ def detect_architecture(params) -> str:
 
 
 def model_for_params(params, scale_factor: int = 4, dtype: Any = None,
-                     remat: bool = False, quantize: str = "") -> nn.Module:
+                     remat: bool = False, quantize: str = "",
+                     phase_tail: bool = False) -> nn.Module:
     """Construct the module matching a loaded checkpoint, inferring
     width/depth from tensor shapes — so non-registry variants (e.g. the
     reference analysis tools' 64-channel AttentionSR,
@@ -109,7 +118,7 @@ def model_for_params(params, scale_factor: int = 4, dtype: Any = None,
         num_channels=params["input_conv"]["conv"]["kernel"].shape[-1],
         num_residuals=1 + max(int(k.split("_")[1]) for k in params
                               if k.startswith("res_")),
-        dtype=dtype, remat=remat, quantize=quantize,
+        dtype=dtype, remat=remat, quantize=quantize, phase_tail=phase_tail,
     )
 
 

@@ -22,6 +22,8 @@ class ResNetSR(nn.Module):
     remat: bool = False  # rematerialize blocks in backward (trade FLOPs for HBM)
     quantize: str = ""   # "int8"/"int8_dot": dynamic-int8 BODY convs for
                          # inference (BN/head/tail stay full precision)
+    phase_tail: bool = False  # fused phase-space upsample tail (see
+                              # AttentionSR.phase_tail / ops/subpixel_conv)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -42,6 +44,15 @@ class ResNetSR(nn.Module):
         assert self.scale_factor >= 2 and \
             self.scale_factor & (self.scale_factor - 1) == 0, \
             "tail is built from x2 stages: scale must be a power of two"
+        if self.phase_tail:
+            r_acc = 1
+            for i in range(self.scale_factor.bit_length() - 1):
+                x = UpsampleBlock(out_channels=64, scale=2, dtype=self.dtype,
+                                  phase_in=r_acc, name=f"up_{i}")(x)
+                r_acc *= 2
+            return Conv(3, 9, dtype=self.dtype,
+                        subpixel_r=self.scale_factor, phase_in=r_acc,
+                        name="output_conv")(x)
         for i in range(self.scale_factor.bit_length() - 1):
             x = UpsampleBlock(out_channels=64, scale=2, dtype=self.dtype,
                               name=f"up_{i}")(x)

@@ -40,3 +40,16 @@ def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     x = x.reshape(n, h, w * r, c, r)
     x = x.transpose(0, 1, 4, 2, 3).reshape(n, h * r, w * r, c)
     return x
+
+
+def pixel_unshuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Exact inverse of :func:`pixel_shuffle` (space-to-depth into the same
+    ``c*r*r + i*r + j`` channel layout): ``pixel_unshuffle(pixel_shuffle(z,
+    r), r) == z``. Used to move images into phase space for the fused
+    phase-space SR tail (ops/subpixel_conv.py) and in its exactness tests."""
+    n, h, w, c = x.shape
+    if h % r or w % r:
+        raise ValueError(f"spatial dims {h}x{w} not divisible by r={r}")
+    x = x.reshape(n, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # N, H, W, c, i, j
+    return x.reshape(n, h // r, w // r, c * r * r)

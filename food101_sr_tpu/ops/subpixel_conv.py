@@ -52,6 +52,58 @@ def _phase_index_maps(k: int, r: int):
     return qs, np.clip(d, 0, k - 1), valid
 
 
+def _phase_kernel(kernel: jnp.ndarray, r: int, ps_in: bool,
+                  out_perm=None) -> jnp.ndarray:
+    """Rearrange an HR HWIO kernel into the phase-decomposed form.
+
+    Returns K' of shape [nq, nq, r*r*cin, r*r*cout]: input channels ordered
+    (sy, sx, i) when ``ps_in`` is False (space-to-depth layout) or
+    (i, sy, sx) when True (pixel-shuffle layout, channel = i*r*r + sy*r +
+    sx); output channels in pixel-shuffle layout (c, py, px), optionally
+    re-indexed by ``out_perm`` (``K'_new[..., j] = K'[..., out_perm[j]]``).
+    """
+    k, _, cin, cout = kernel.shape
+    qs, dmap, valid = _phase_index_maps(k, r)
+    nq = len(qs)
+    # K'[qy, qx, sy, sx, py, px, i, c] = kernel[d(qy,sy,py), d(qx,sx,px), i, c]
+    dy = dmap[:, None, :, None, :, None]          # [qy,1,sy,1,py,1]
+    dx = dmap[None, :, None, :, None, :]          # [1,qx,1,sx,1,px]
+    vy = valid[:, None, :, None, :, None]
+    vx = valid[None, :, None, :, None, :]
+    kp = kernel[dy, dx]                           # [qy,qx,sy,sx,py,px,i,c]
+    kp = jnp.where((vy & vx)[..., None, None], kp, 0.0)
+    if ps_in:  # input channels (i, sy, sx)
+        kp = kp.transpose(0, 1, 6, 2, 3, 7, 4, 5)  # [qy,qx,i,sy,sx,c,py,px]
+    else:      # input channels (sy, sx, i)
+        kp = kp.transpose(0, 1, 2, 3, 6, 7, 4, 5)  # [qy,qx,sy,sx,i,c,py,px]
+    kp = kp.reshape(nq, nq, r * r * cin, cout * r * r)  # out = (c, py, px)
+    if out_perm is not None:
+        kp = kp[..., np.asarray(out_perm)]
+    return kp
+
+
+def _phase_conv(z: jnp.ndarray, kernel: jnp.ndarray, bias, r: int,
+                ps_in: bool, out_perm=None) -> jnp.ndarray:
+    """The decomposed conv itself, on phase-space input/output."""
+    k = kernel.shape[0]
+    qs, _, _ = _phase_index_maps(k, r)
+    kp = _phase_kernel(kernel, r, ps_in, out_perm)
+    # decomposed conv: padding must map q=0 to the current block, i.e. the
+    # tap range [q_lo, q_hi] needs |q_lo| left pad and q_hi right pad.
+    lo, hi = -int(qs[0]), int(qs[-1])
+    y = lax.conv_general_dilated(
+        z, kp.astype(z.dtype), (1, 1),
+        padding=((lo, hi), (lo, hi)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        b = jnp.repeat(bias, r * r)
+        if out_perm is not None:
+            b = b[np.asarray(out_perm)]
+        y = y + b.astype(y.dtype)
+    return y
+
+
 def subpixel_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias, r: int):
     """SAME stride-1 conv computed via r-phase decomposition.
 
@@ -62,34 +114,51 @@ def subpixel_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias, r: int):
       r: phase factor (the model's upscale step is the natural choice).
     """
     n, h, w, cin = x.shape
-    k, _, _, cout = kernel.shape
-    qs, dmap, valid = _phase_index_maps(k, r)
-    nq = len(qs)
-
     # space-to-depth input: z[b, Y, X, (sy, sx, i)]
     z = x.reshape(n, h // r, r, w // r, r, cin)
     z = z.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // r, w // r, r * r * cin)
-
-    # K'[qy, qx, sy, sx, py, px, i, c] = kernel[d(qy,sy,py), d(qx,sx,px), i, c]
-    dy = dmap[:, None, :, None, :, None]          # [qy,1,sy,1,py,1]
-    dx = dmap[None, :, None, :, None, :]          # [1,qx,1,sx,1,px]
-    vy = valid[:, None, :, None, :, None]
-    vx = valid[None, :, None, :, None, :]
-    kp = kernel[dy, dx]                           # [qy,qx,sy,sx,py,px,i,c]
-    kp = jnp.where((vy & vx)[..., None, None], kp, 0.0)
-    # in-channels (sy, sx, i) -> axis order already (sy, sx, ..., i): move i
-    kp = kp.transpose(0, 1, 2, 3, 6, 7, 4, 5)      # [qy,qx,sy,sx,i,c,py,px]
-    kp = kp.reshape(nq, nq, r * r * cin, cout * r * r)  # out = (c, py, px)
-
-    # decomposed conv: padding must map q=0 to the current block, i.e. the
-    # tap range [q_lo, q_hi] needs |q_lo| left pad and q_hi right pad.
-    lo, hi = -int(qs[0]), int(qs[-1])
-    y = lax.conv_general_dilated(
-        z, kp.astype(z.dtype), (1, 1),
-        padding=((lo, hi), (lo, hi)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    if bias is not None:
-        y = y + jnp.repeat(bias, r * r).astype(y.dtype)
+    y = _phase_conv(z, kernel, bias, r, ps_in=False)
     # out channel index (c, py, px) == pixel_shuffle's (c*r + i)*r + j
     return pixel_shuffle(y, r)
+
+
+def phase_conv2d(z: jnp.ndarray, kernel: jnp.ndarray, bias, r: int,
+                 out_perm=None, shuffle_out: bool = False) -> jnp.ndarray:
+    """``conv_k(pixel_shuffle(z, r), kernel)`` computed WITHOUT materializing
+    the shuffle — the phase-space building block of the fused SR tail.
+
+    ``z`` is [N, H, W, r*r*cin] in pixel-shuffle channel layout
+    (``i*r*r + sy*r + sx``); the result is the same conv's output at
+    HR resolution, returned in pixel-shuffle layout ``[N, H, W, r*r*cout]``
+    (``c*r*r + py*r + px``) — or the materialized HR image when
+    ``shuffle_out`` (then it equals ``conv(pixel_shuffle(z, r))`` exactly).
+
+    ``out_perm`` statically re-indexes the output channels (folded into the
+    rearranged kernel, zero runtime cost) — used by the fused tail to keep
+    its accumulated-phase channel layout canonical between x2 stages.
+
+    Exactness: like :func:`subpixel_conv2d`, a pure re-indexing of the HWIO
+    kernel with zero fill — identical math in fp32 (golden-tested); on TPU
+    only accumulation-order float noise differs.
+    """
+    y = _phase_conv(z, kernel, bias, r, ps_in=True, out_perm=out_perm)
+    return pixel_shuffle(y, r) if shuffle_out else y
+
+
+@functools.lru_cache(maxsize=32)
+def merge_phase_perm(cout_hr: int, r_in: int, s: int = 2):
+    """Static output-channel permutation restoring the canonical
+    pixel-shuffle layout after a phase-space upsample stage.
+
+    A x``s`` upsample conv computed at ``r_in``-phase space emits channels
+    (c_hr, Py, Px) where c_hr itself factors as (c, by, bx) — the stage's
+    own shuffle phases (``cout_hr = c*s*s``). The stage's HR position is
+    ``(lr*r_in + P)*s + b``, so the accumulated phase at ``r_new = r_in*s``
+    is ``P*s + b`` per axis; canonical layout wants dims (c, Py, by, Px,
+    bx). Returns ``src`` with ``new[..., j] = raw[..., src[j]]`` (a tuple,
+    cacheable and safe to embed in module attrs).
+    """
+    c = cout_hr // (s * s)
+    src = np.arange(cout_hr * r_in * r_in).reshape(c, s, s, r_in, r_in)
+    src = src.transpose(0, 3, 1, 4, 2).reshape(-1)
+    return tuple(int(v) for v in src)

@@ -8,6 +8,8 @@ available without changing the architecture — whether the 96-channel body
 
     python tools/mfu_experiments.py --channels 96 128 --batch 128
     python tools/mfu_experiments.py --profile   # + xplane trace of 3 steps
+    python tools/mfu_experiments.py --inference --batch 512 --profile
+        # same attribution for the serving forward (the bench.py headline)
 
 Per variant: wall ms/step (overhead-cancelled two-point slope through the
 tunnel — see bench.py), XLA's own FLOP count for the compiled step
@@ -112,10 +114,86 @@ def time_train_step(channels: int, batch: int, lr_size: int = 50,
     }
 
 
+def time_inference(channels: int, batch: int, lr_size: int = 50,
+                   scale: int = 4, profile_dir: str | None = None,
+                   phase_tail: bool = False):
+    """Same attribution for the serving forward bench.py's headline rides
+    on: uint8 in / uint8 out at the jit boundary (serve.py:236-243), bf16
+    body, overhead-cancelled two-point slope. ``phase_tail`` measures the
+    fused phase-space upsample tail against the standard one."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from food101_sr_tpu.models.attention_sr import AttentionSR
+
+    model = AttentionSR(scale_factor=scale, num_channels=channels,
+                        num_residuals=32, dtype=jnp.bfloat16,
+                        phase_tail=phase_tail)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, lr_size, lr_size, 3), jnp.float32), train=False)
+
+    def fwd_u8(x8):
+        x = x8.astype(jnp.float32) / 255.0
+        y = model.apply(variables, x, train=False)
+        return (jnp.clip(y, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+    lr = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (batch, lr_size, lr_size, 3), dtype=np.uint8))
+    total = jax.jit(lambda y: jnp.sum(y.astype(jnp.int32)))
+
+    t = time.perf_counter()
+    compiled = jax.jit(fwd_u8).lower(lr).compile()
+    int(total(compiled(lr)))
+    log(f"[{channels}ch inf] compile+warmup: {time.perf_counter() - t:.1f}s")
+    try:
+        flops = float(compiled.cost_analysis()["flops"])
+    except Exception as e:
+        log(f"cost_analysis unavailable: {e}")
+        flops = float("nan")
+
+    def timed(n, repeats=3):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                y = compiled(lr)
+            int(total(y))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short, t_long = timed(3), timed(13)
+    per_step = (t_long - t_short) / 10.0
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+        for _ in range(3):
+            y = compiled(lr)
+        int(total(y))
+        jax.profiler.stop_trace()
+        log(f"trace -> {profile_dir}")
+
+    tflops = flops / per_step / 1e12
+    return {
+        "channels": channels,
+        "ms_per_step": per_step * 1e3,
+        "img_per_s": batch / per_step,
+        "step_gflop": flops / 1e9,
+        "tflops": tflops,
+        "mfu_pct": 100.0 * tflops / V5E_BF16_PEAK_TFLOPS,
+    }
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--channels", type=int, nargs="+", default=[96, 128])
     p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--inference", action="store_true",
+                   help="attribute the serving forward (uint8 I/O, bf16 "
+                        "body) instead of the train step")
+    p.add_argument("--phase_tail", action="store_true",
+                   help="with --inference: fused phase-space upsample tail")
     p.add_argument("--profile", action="store_true",
                    help="capture an xplane trace of the FIRST variant")
     p.add_argument("--profile_dir", default="runs/profile_mfu")
@@ -128,8 +206,13 @@ def main():
         f"({jax.devices()[0].device_kind})")
 
     rows = []
+    if a.inference:
+        bench = lambda ch, b, profile_dir=None: time_inference(
+            ch, b, profile_dir=profile_dir, phase_tail=a.phase_tail)
+    else:
+        bench = time_train_step
     for i, ch in enumerate(a.channels):
-        rows.append(time_train_step(
+        rows.append(bench(
             ch, a.batch,
             profile_dir=a.profile_dir if (a.profile and i == 0) else None))
     print(f"{'ch':>5}{'ms/step':>10}{'img/s':>9}{'GFLOP':>9}"
