@@ -154,8 +154,29 @@ def _probe_platform(deadline: float) -> str:
     return "cpu"
 
 
+def _last_json(text: str) -> dict | None:
+    """Last valid ``{"metric": ...}`` JSON object line in ``text``."""
+    for ln in reversed((text or "").splitlines()):
+        ln = ln.strip()
+        if not ln:
+            continue
+        try:
+            obj = json.loads(ln)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and "metric" in obj:
+            return obj
+    return None
+
+
 def _run_child(platform: str, timeout: float) -> dict | None:
-    """One measurement attempt in a child process; validated JSON or None."""
+    """One measurement attempt in a child process; validated JSON or None.
+
+    The infer child prints a PROVISIONAL line (standard-tail program,
+    ~15s compile) before attempting the faster phase-tail program (whose
+    cold compile through the tunnel has been observed at 100-230s) — so a
+    timeout kill mid-compile still salvages a real chip measurement from
+    the child's partial stdout instead of falling back to CPU."""
     if timeout < 5:
         return None
     env = dict(os.environ)
@@ -167,21 +188,20 @@ def _run_child(platform: str, timeout: float) -> dict | None:
                             *sys.argv[1:]],
                            stdout=subprocess.PIPE, timeout=timeout, text=True,
                            env=env)
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
         log(f"child[{platform}]: killed at {timeout:.0f}s budget")
-        return None
-    for ln in reversed(r.stdout.splitlines()):
-        ln = ln.strip()
-        if not ln:
-            continue
-        try:
-            obj = json.loads(ln)
-        except ValueError:
-            continue
-        if isinstance(obj, dict) and "metric" in obj:
-            return obj
-    log(f"child[{platform}]: rc={r.returncode}, no JSON line on stdout")
-    return None
+        out = e.stdout
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        obj = _last_json(out or "")
+        if obj is not None:
+            obj["note"] = "salvaged provisional line after child timeout"
+            log(f"child[{platform}]: salvaged provisional measurement")
+        return obj
+    obj = _last_json(r.stdout)
+    if obj is None:
+        log(f"child[{platform}]: rc={r.returncode}, no JSON line on stdout")
+    return obj
 
 
 def supervise():
@@ -215,7 +235,7 @@ def supervise():
 # child — the actual measurement, on a platform the supervisor picked
 # --------------------------------------------------------------------------
 
-def bench_tpu(quantize: str = "") -> float:
+def bench_tpu(quantize: str = "", phase_tail: bool = True) -> float:
     """Overhead-cancelled device timing.
 
     The remote-TPU tunnel used by the driver acks dispatches before they
@@ -235,11 +255,11 @@ def bench_tpu(quantize: str = "") -> float:
     dev = jax.devices()[0]
     log(f"jax backend: {dev.platform} ({dev.device_kind})")
 
-    # phase_tail matches the production serving path (serve.py default):
-    # the upsample tail fused in pixel-shuffle phase space — exact same
-    # math/params, measured +9% on v5e (DESIGN.md §2)
+    # phase_tail=True matches the production serving path (serve.py
+    # default): the upsample tail fused in pixel-shuffle phase space —
+    # exact same math/params, measured +26% on v5e (DESIGN.md §2)
     model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16,
-                      quantize=quantize, phase_tail=True)
+                      quantize=quantize, phase_tail=phase_tail)
     variables = model.init(
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, LR_SIZE, LR_SIZE, 3), jnp.float32),
@@ -567,16 +587,30 @@ def child_main():
         line = {"metric": metric, "value": round(bench_train_step(
             TRAIN_BATCH), 1), "unit": unit, "vs_baseline": None}
     else:
-        ours = bench_tpu(quantize)
         if cpu:
+            ours = bench_tpu(quantize)
             baseline = FALLBACK_BASELINE_IPS  # torch re-measure wastes the
             # tiny CPU budget; the recorded same-host number is the baseline
         else:
             baseline = bench_torch_reference()
             if baseline is None:
                 baseline = FALLBACK_BASELINE_IPS
+            # Staged measurement: the standard-tail program compiles fast
+            # (~15s through the tunnel), the production phase-tail program
+            # is faster to RUN (+26% measured) but slow to COMPILE cold
+            # (100-230s observed). Print a complete provisional line first
+            # so a supervisor kill mid-compile salvages a real chip number.
+            std = bench_tpu(quantize, phase_tail=False)
+            print(json.dumps({
+                "metric": metric, "value": round(std, 1), "unit": unit,
+                "vs_baseline": (round(std / baseline, 2)
+                                if baseline else None),
+                "tail": "standard"}), flush=True)
+            ours = bench_tpu(quantize, phase_tail=True)
         line = {"metric": metric, "value": round(ours, 1), "unit": unit,
                 "vs_baseline": round(ours / baseline, 2) if baseline else None}
+        if not cpu:
+            line["tail"] = "phase"
     if cpu and mode != "input":
         # never let a CPU number masquerade as a chip measurement in the
         # recorded history

@@ -81,8 +81,8 @@ class _RawConv(nn.Module):
     dtype: Dtype
     subpixel_r: int
     quantize: str = ""
-    phase_in: int = 0          # >1: input is ps-layout phase space at this r
-    phase_out_perm: tuple | None = None  # static out-channel re-index
+    phase_in: int = 0          # >1: input is phase space at this r
+    phase_in_map: tuple | None = None  # canonical ps index per input channel
 
     @nn.compact
     def __call__(self, x):
@@ -102,14 +102,25 @@ class _RawConv(nn.Module):
         if self.phase_in > 1:
             assert self.strides == 1 and not self.quantize, \
                 "phase-space convs are stride-1 full-precision tail ops"
-            from ..ops.subpixel_conv import phase_conv2d
+            from ..ops.subpixel_conv import (phase_conv2d,
+                                             phase_conv2d_grouped)
 
-            # subpixel_r doubles as "materialize the HR image here" — the
-            # tail's final conv; otherwise stay in phase space for the next
-            # stage (out_perm keeps the accumulated-phase layout canonical)
-            return phase_conv2d(xc, kc, bc, self.phase_in,
-                                out_perm=self.phase_out_perm,
-                                shuffle_out=self.subpixel_r > 1)
+            # Two phase forms with opposite cost profiles (both measured,
+            # v5e batch 512): the k=3 up-stage convs use the polyphase
+            # SPLIT (the dense K' multiplies r^2 = 4x-16x structural zeros
+            # on the MXU — 31 -> ~16 ms on up_1); the k=9 final conv uses
+            # the DENSE form (inflation only (nq*r/k)^2 ~= 1.8 while the
+            # split would re-read its 2.6 GB input r^2 times — measured
+            # 220 ms end-to-end vs 156 dense). phase_in_map folds the
+            # producer's grouped layout into either kernel's gather;
+            # subpixel_r marks the tail's final conv, which materializes
+            # the HR image.
+            if self.subpixel_r > 1:
+                return phase_conv2d(xc, kc, bc, self.phase_in,
+                                    in_map=self.phase_in_map,
+                                    shuffle_out=True)
+            return phase_conv2d_grouped(xc, kc, bc, self.phase_in,
+                                        in_map=self.phase_in_map)
 
         if self.quantize == "qat":  # fake-quant + STE, trainable
             from ..ops.quantize import fake_quant_conv2d
@@ -159,7 +170,7 @@ class Conv(nn.Module):
     subpixel_r: int = 0
     quantize: str = ""  # "" | "int8" | "int8_dot" (inference) | "qat" (training)
     phase_in: int = 0   # >1: fused phase-space tail conv (see _RawConv)
-    phase_out_perm: tuple | None = None
+    phase_in_map: tuple | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -173,7 +184,7 @@ class Conv(nn.Module):
             subpixel_r=self.subpixel_r,
             quantize=self.quantize,
             phase_in=self.phase_in,
-            phase_out_perm=self.phase_out_perm,
+            phase_in_map=self.phase_in_map,
             name="conv",
         )(x)
 
@@ -321,34 +332,32 @@ class UpsampleBlock(nn.Module):
     (reference src/models.py:116-123,160-167).
 
     ``phase_in`` runs the stage entirely in phase space: the input is
-    ``phase_in``-phase pixel-shuffle channel layout at LR resolution and the
-    output is ``phase_in*scale``-phase layout, with NO shuffle materialized
-    — the stage's own shuffle folds into a static output-channel
-    permutation of the rearranged kernel, and PReLU's scalar slope commutes
-    with any channel layout. Same params either way.
+    ``phase_in``-phase channel layout at LR resolution (``phase_in_map``
+    gives each input channel's canonical pixel-shuffle index — the
+    producer's grouped layout folds into this stage's kernel gather) and
+    the output is ``phase_in*scale``-phase GROUPED layout
+    (ops/subpixel_conv.grouped_out_map), with NO shuffle materialized.
+    PReLU's scalar slope commutes with any channel layout. Same params
+    either way.
     """
 
     out_channels: int = 64
     scale: int = 2
     dtype: Dtype = None
     phase_in: int = 0  # 0/1 = materialized stage; >=1 with phase output
+    phase_in_map: tuple | None = None
 
     @nn.compact
     def __call__(self, x):
         r2 = self.scale * self.scale
         if self.phase_in >= 1:
-            from ..ops.subpixel_conv import merge_phase_perm
-
-            perm = (merge_phase_perm(self.out_channels * r2, self.phase_in,
-                                     self.scale)
-                    if self.phase_in > 1 else None)
             # phase_in == 1: an ordinary conv whose raw output channels ARE
-            # the scale-phase pixel-shuffle layout already — no perm needed
+            # the scale-phase pixel-shuffle layout already
             x = Conv(
                 self.out_channels * r2, 3,
                 kernel_init=icnr_kaiming_normal(self.scale),
                 dtype=self.dtype, phase_in=self.phase_in,
-                phase_out_perm=perm, name="conv",
+                phase_in_map=self.phase_in_map, name="conv",
             )(x)
             return PReLU(name="prelu")(x)
         x = Conv(

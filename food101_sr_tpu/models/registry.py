@@ -53,7 +53,7 @@ def get_model(name: str, scale_factor: int = 4, dtype: Any = None,
 
     ``phase_tail=True`` runs the ResNetSR/AttentionSR upsample tail fused
     in pixel-shuffle phase space at LR resolution (exact math, same params
-    and checkpoints — measured +9% AttentionSR x4 inference on v5e;
+    and checkpoints — measured +21% AttentionSR x4 inference on v5e;
     ops/subpixel_conv.phase_conv2d). SRCNN pre-upsamples (no tail), so the
     flag is a no-op there."""
     if name not in _REGISTRY:

@@ -45,14 +45,19 @@ class ResNetSR(nn.Module):
             self.scale_factor & (self.scale_factor - 1) == 0, \
             "tail is built from x2 stages: scale must be a power of two"
         if self.phase_tail:
-            r_acc = 1
+            from ..ops.subpixel_conv import grouped_out_map
+
+            r_acc, in_map = 1, None
             for i in range(self.scale_factor.bit_length() - 1):
                 x = UpsampleBlock(out_channels=64, scale=2, dtype=self.dtype,
-                                  phase_in=r_acc, name=f"up_{i}")(x)
+                                  phase_in=r_acc, phase_in_map=in_map,
+                                  name=f"up_{i}")(x)
+                in_map = (grouped_out_map(64 * 4, r_acc)
+                          if r_acc > 1 else None)
                 r_acc *= 2
             return Conv(3, 9, dtype=self.dtype,
                         subpixel_r=self.scale_factor, phase_in=r_acc,
-                        name="output_conv")(x)
+                        phase_in_map=in_map, name="output_conv")(x)
         for i in range(self.scale_factor.bit_length() - 1):
             x = UpsampleBlock(out_channels=64, scale=2, dtype=self.dtype,
                               name=f"up_{i}")(x)

@@ -179,7 +179,7 @@ class SRServer:
                  quantize: str = "", phase_tail: bool = True):
         # phase_tail (default on): the RESNET/AttentionSR upsample tail runs
         # fused in pixel-shuffle phase space — exact same math and params,
-        # measured +9% AttentionSR x4 throughput on v5e (DESIGN.md §2);
+        # measured +21% AttentionSR x4 throughput on v5e (DESIGN.md §2);
         # SRCNN pre-upsamples, the flag is a no-op there.
         self.scale = scale
         self.tile = tile
@@ -530,7 +530,7 @@ def main():
     p.add_argument("--no_phase_tail", action="store_true",
                    help="disable the fused phase-space upsample tail "
                         "(exact same math/params; on by default because it "
-                        "measures +9%% AttentionSR x4 throughput on v5e — "
+                        "measures +21%% AttentionSR x4 throughput on v5e — "
                         "this flag exists for A/B timing and debugging)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8700)

@@ -106,3 +106,43 @@ def test_parse_mode_and_metric_names():
 def test_unknown_quantize_mode_rejected():
     r, _ = _run(["--quantize", "int4"], budget_s=60, timeout_s=60)
     assert r.returncode != 0
+
+
+def test_last_json_picks_last_metric_line():
+    good = json.dumps({"metric": "m", "value": 1.0})
+    better = json.dumps({"metric": "m", "value": 2.0})
+    text = f"noise\n{good}\nnot json {{\n{better}\n  \n"
+    assert bench._last_json(text)["value"] == 2.0
+    assert bench._last_json("no json here") is None
+    assert bench._last_json("") is None
+    assert bench._last_json(json.dumps({"no_metric": 1})) is None
+
+
+def test_run_child_salvages_provisional_line_on_timeout(monkeypatch):
+    """A child killed at its budget mid-phase-tail-compile must still yield
+    the provisional standard-tail measurement it already printed (round-3
+    hardening: the phase-tail program's cold compile through the tunnel
+    was observed at 100-230s)."""
+    provisional = json.dumps({
+        "metric": "attentionsr_x4_inference_throughput", "value": 2869.0,
+        "unit": "images/sec/chip", "vs_baseline": 1000.0,
+        "tail": "standard"})
+
+    def fake_run(*a, **kw):
+        raise subprocess.TimeoutExpired(
+            cmd=a[0], timeout=kw.get("timeout", 0),
+            output=f"log noise\n{provisional}\n".encode())
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    obj = bench._run_child("tpu", timeout=60)
+    assert obj is not None
+    assert obj["value"] == 2869.0
+    assert obj["tail"] == "standard"
+    assert "salvaged" in obj["note"]
+
+    # nothing printed before the kill -> still None (CPU rescue takes over)
+    def fake_run_empty(*a, **kw):
+        raise subprocess.TimeoutExpired(cmd=a[0], timeout=0, output=b"")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run_empty)
+    assert bench._run_child("tpu", timeout=60) is None

@@ -15,7 +15,9 @@ from food101_sr_tpu.models.attention_sr import AttentionSR
 from food101_sr_tpu.models.layers import UpsampleBlock
 from food101_sr_tpu.models.resnet_sr import ResNetSR
 from food101_sr_tpu.ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
-from food101_sr_tpu.ops.subpixel_conv import phase_conv2d
+from food101_sr_tpu.ops.subpixel_conv import (grouped_out_map, phase_conv2d,
+                                              phase_conv2d_grouped,
+                                              phase_major_shuffle)
 
 
 def _rng(seed=0):
@@ -60,10 +62,29 @@ def test_phase_conv_matches_materialized_conv(r, k):
     np.testing.assert_allclose(np.asarray(got2), np.asarray(got), atol=0)
 
 
+def test_grouped_phase_conv_matches_dense():
+    """The polyphase-split form == the dense K' form == the materialized
+    conv, and its grouped (phase-major) output layout is what
+    phase_major_shuffle expects."""
+    for r, k in ((2, 3), (4, 3), (4, 9)):
+        cin, cout = 5, 4
+        z = jnp.asarray(_rng(11).normal(size=(2, 5, 4, r * r * cin)),
+                        jnp.float32)
+        kern = jnp.asarray(_rng(12).normal(size=(k, k, cin, cout)),
+                           jnp.float32)
+        bias = jnp.asarray(_rng(13).normal(size=(cout,)), jnp.float32)
+        dense = phase_conv2d(z, kern, bias, r, shuffle_out=True)
+        grouped = phase_major_shuffle(
+            phase_conv2d_grouped(z, kern, bias, r), r)
+        np.testing.assert_allclose(np.asarray(grouped), np.asarray(dense),
+                                   rtol=1e-5, atol=5e-5)
+
+
 def test_upsample_block_phase_stage_matches_materialized():
     """One x2 stage consuming r_in-phase input must produce exactly the
-    r_in*2-phase layout of the materialized stage's output (the
-    merge_phase_perm bookkeeping)."""
+    materialized stage's output — the stage emits GROUPED layout, whose
+    canonical index per channel is grouped_out_map (the bookkeeping the
+    next kernel's gather absorbs)."""
     for r_in in (2, 4):
         img = jnp.asarray(_rng(5).normal(size=(2, 6 * r_in, 4 * r_in, 16)),
                           jnp.float32)
@@ -73,9 +94,13 @@ def test_upsample_block_phase_stage_matches_materialized():
 
         ph = UpsampleBlock(out_channels=8, scale=2, dtype=jnp.float32,
                            phase_in=r_in)
-        got = pixel_shuffle(ph.apply(v, pixel_unshuffle(img, r_in)),
-                            2 * r_in)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+        got = ph.apply(v, pixel_unshuffle(img, r_in))
+        # reorder grouped -> canonical ps, then materialize
+        m = np.asarray(grouped_out_map(8 * 4, r_in))
+        canon = np.empty_like(np.asarray(got))
+        canon[..., m] = np.asarray(got)
+        got_img = pixel_shuffle(jnp.asarray(canon), 2 * r_in)
+        np.testing.assert_allclose(np.asarray(got_img), np.asarray(ref),
                                    atol=2e-5)
 
 
