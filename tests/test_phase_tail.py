@@ -128,6 +128,36 @@ def test_model_phase_tail_exact_and_same_params(cls, kw, scale):
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-5)
 
 
+def test_phase_tail_gradients_match_standard():
+    """train.py --phase_tail claims gradient equality to float noise: the
+    phase form is a linear re-indexing of the same kernel, so d(loss)/d
+    (params) must match the standard tail leaf-by-leaf (fp32, same batch,
+    same params)."""
+    m0 = AttentionSR(scale_factor=4, num_residuals=2, num_channels=16,
+                     dtype=jnp.float32)
+    m1 = AttentionSR(scale_factor=4, num_residuals=2, num_channels=16,
+                     dtype=jnp.float32, phase_tail=True)
+    lr = jnp.asarray(_rng(21).uniform(size=(2, 10, 10, 3)), jnp.float32)
+    hr = jnp.asarray(_rng(22).uniform(size=(2, 40, 40, 3)), jnp.float32)
+    v = m0.init({"params": jax.random.PRNGKey(0)}, lr, train=False)
+
+    def loss(m):
+        def f(params):
+            y = m.apply({**v, "params": params}, lr, train=True)
+            return jnp.mean((y - hr) ** 2)
+        return jax.grad(f)(v["params"])
+
+    g0, g1 = loss(m0), loss(m1)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    assert len(flat0) == len(flat1)
+    for (p0, a), (p1, b) in zip(flat0, flat1):
+        assert p0 == p1
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
+            err_msg=jax.tree_util.keystr(p0))
+
+
 def test_phase_tail_any_input_size():
     """Phase space lives at LR resolution, so unlike the HR subpixel_r
     gate there is NO divisibility constraint on the input (serving tiles

@@ -38,7 +38,8 @@ def log(*a):
 
 
 def time_train_step(channels: int, batch: int, lr_size: int = 50,
-                    scale: int = 4, profile_dir: str | None = None):
+                    scale: int = 4, profile_dir: str | None = None,
+                    phase_tail: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -49,7 +50,8 @@ def time_train_step(channels: int, batch: int, lr_size: int = 50,
                                          make_train_step)
 
     model = AttentionSR(scale_factor=scale, num_channels=channels,
-                        num_residuals=32, dtype=jnp.bfloat16)
+                        num_residuals=32, dtype=jnp.bfloat16,
+                        phase_tail=phase_tail)
     variables = model.init(
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, lr_size, lr_size, 3), jnp.float32), train=False)
@@ -210,7 +212,8 @@ def main():
         bench = lambda ch, b, profile_dir=None: time_inference(
             ch, b, profile_dir=profile_dir, phase_tail=a.phase_tail)
     else:
-        bench = time_train_step
+        bench = lambda ch, b, profile_dir=None: time_train_step(
+            ch, b, profile_dir=profile_dir, phase_tail=a.phase_tail)
     for i, ch in enumerate(a.channels):
         rows.append(bench(
             ch, a.batch,

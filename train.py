@@ -63,6 +63,14 @@ def parse_args():
                         "onto the grid the int8 serving path uses "
                         "(serve/predict --quantize int8). RESNET/"
                         "AttentionSR only")
+    p.add_argument("--phase_tail", action="store_true",
+                   default=DEFAULTS["phase_tail"],
+                   help="run the upsample tail fused in pixel-shuffle phase "
+                        "space inside the train step (exact same math/"
+                        "params/checkpoints; gradients equal to float "
+                        "noise): measured +8.5%% train throughput on v5e. "
+                        "Off by default only because the committed torch-"
+                        "parity evidence was recorded on the standard tail")
     p.add_argument("--use_wandb", type=lambda s: s.lower() in ("1", "true"),
                    default=DEFAULTS["use_wandb"], nargs="?", const=True,
                    help="force W&B on/off (default: auto — on iff wandb is "
