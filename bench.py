@@ -401,7 +401,10 @@ def bench_train_step(batch: int) -> float:
     from food101_sr_tpu.models import get_model
     from food101_sr_tpu.training import SRTrainState, make_adam, make_train_step
 
-    model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16)
+    # phase_tail matches train.py's default (fused phase-space tail,
+    # measured +8.5% — torch-parity-tested with this tail on our side)
+    model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16,
+                      phase_tail=True)
     variables = model.init(
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, LR_SIZE, LR_SIZE, 3), jnp.float32),
@@ -453,7 +456,9 @@ def bench_gan_step(batch: int, crop: int) -> float:
     from food101_sr_tpu.training import (SRTrainState, make_adam,
                                          make_gan_d_step, make_gan_g_step)
 
-    g_model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16)
+    # generator tail fused in phase space, like train.py's default
+    g_model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16,
+                        phase_tail=True)
     g_vars = g_model.init({"params": jax.random.PRNGKey(0)},
                           jnp.zeros((1, crop // SCALE, crop // SCALE, 3),
                                     jnp.float32), train=False)

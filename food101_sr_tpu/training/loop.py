@@ -101,14 +101,19 @@ DEFAULTS: dict[str, Any] = {
                                 # int8 serving grid; "" = normal float body.
                                 # The inference-only int8/int8_dot modes are
                                 # rejected here (round/clip has zero grad).
-    "phase_tail": False,        # fused phase-space upsample tail in the
-                                # train step too: same math/params/ckpts,
-                                # measured +8.5% train throughput on v5e
-                                # (1139 -> 1236 img/s, batch 128); off by
-                                # default only because the torch-parity
-                                # evidence was recorded on the standard
-                                # tail (gradients equal to float noise,
-                                # tests/test_phase_tail.py).
+    "phase_tail": True,         # fused phase-space upsample tail in the
+                                # train step (the serving default too):
+                                # same math/params/ckpts, measured +8.5%
+                                # train throughput on v5e (1139 -> 1236
+                                # img/s, batch 128). Backed by DIRECT
+                                # torch-reference parity with the phase
+                                # tail on our side: raw gradients + 20-step
+                                # SGD trajectory + eval parity
+                                # (tests/test_training_parity_torch.py)
+                                # plus phase-vs-standard leaf equality
+                                # (tests/test_phase_tail.py).
+                                # --no_phase_tail restores the
+                                # materialized tail.
     # Multi-host launch (parallel/distributed.py): same command on every
     # host; the mesh then spans all processes' devices and the loader
     # feeds each host its interleaved slice of the global batch.

@@ -50,22 +50,29 @@ def _torch_criterion(name):
 
 
 # small non-registry variants keep 20-step CPU trajectories fast; the
-# registry-size forward parity lives in test_reference_parity.py
-def _small(arch):
+# registry-size forward parity lives in test_reference_parity.py.
+# ``phase_tail`` builds OUR side with the fused phase-space upsample tail
+# (the production train.py default) — the torch side is unchanged, so these
+# legs are direct cross-framework evidence for the default, not just
+# phase-vs-standard self-consistency (tests/test_phase_tail.py).
+def _small(arch, phase_tail=False):
     if arch == "SRCNN":
+        assert not phase_tail  # SRCNN has no upsample tail
         return (get_model("SRCNN", scale_factor=4),
                 ref_models.SRCNN(scale_factor=4, hidden_dim=64))
     if arch == "RESNET":
-        return (ResNetSR(scale_factor=4, num_channels=16, num_residuals=2),
+        return (ResNetSR(scale_factor=4, num_channels=16, num_residuals=2,
+                         phase_tail=phase_tail),
                 ref_models.ResNetSR(scale_factor=4, num_channels=16,
                                     num_residuals=2))
-    return (AttentionSR(scale_factor=4, num_channels=32, num_residuals=3),
+    return (AttentionSR(scale_factor=4, num_channels=32, num_residuals=3,
+                        phase_tail=phase_tail),
             ref_models.AttentionSR(scale_factor=4, num_channels=32,
                                    num_residuals=3))
 
 
-def _init_and_share(arch, seed=0):
-    model, ref = _small(arch)
+def _init_and_share(arch, seed=0, phase_tail=False):
+    model, ref = _small(arch, phase_tail)
     variables = model.init({"params": jax.random.PRNGKey(seed)},
                            jnp.zeros((1, 8, 8, 3), jnp.float32), train=False)
     tree = {"params": variables["params"],
@@ -114,14 +121,18 @@ def _grads_as_ref_layout(grads, extra, arch):
     return sd
 
 
-@pytest.mark.parametrize("arch,loss_name", [
-    ("SRCNN", "nlpd"),      # the reference CLI default loss
-    ("SRCNN", "mae"),
-    ("RESNET", "mse"),      # BN-in-train-mode gradient path
-    ("AttentionSR", "mae"), # the AttentionSR sweep winner's loss
+@pytest.mark.parametrize("arch,loss_name,phase_tail", [
+    ("SRCNN", "nlpd", False),      # the reference CLI default loss
+    ("SRCNN", "mae", False),
+    ("RESNET", "mse", False),      # BN-in-train-mode gradient path
+    ("AttentionSR", "mae", False), # the AttentionSR sweep winner's loss
+    # the production train.py default (phase_tail=True) vs the unchanged
+    # torch reference — both tailed archs
+    ("RESNET", "mse", True),
+    ("AttentionSR", "mae", True),
 ])
-def test_raw_gradient_parity(arch, loss_name):
-    model, variables, ref = _init_and_share(arch)
+def test_raw_gradient_parity(arch, loss_name, phase_tail):
+    model, variables, ref = _init_and_share(arch, phase_tail=phase_tail)
     ref.train()
     hr_u8 = _batches(1)[0]
 
@@ -161,22 +172,27 @@ def test_raw_gradient_parity(arch, loss_name):
             scale = np.abs(want).max() + 1e-12
             np.testing.assert_allclose(
                 got / scale, want / scale, atol=5e-5,
-                err_msg=f"{arch}/{loss_name}: {name}")
+                err_msg=f"{arch}/{loss_name}/pt={phase_tail}: {name}")
         compared += 1
     assert compared == sum(1 for _ in ref.parameters())
 
 
-@pytest.mark.parametrize("arch,loss_name", [
-    ("SRCNN", "nlpd"),
-    ("RESNET", "mse"),   # pins BN momentum + running-stat drift over steps
+@pytest.mark.parametrize("arch,loss_name,phase_tail", [
+    ("SRCNN", "nlpd", False),
+    ("RESNET", "mse", False),  # pins BN momentum + running-stat drift
+    # the flagship arch through OUR production train step with the
+    # production default tail (phase_tail=True) vs the reference loop —
+    # the multi-step cross-framework leg backing train.py's default
+    ("AttentionSR", "mae", True),
 ])
-def test_sgd_trajectory_and_eval_parity(arch, loss_name):
+def test_sgd_trajectory_and_eval_parity(arch, loss_name, phase_tail):
     """20 shared-batch SGD steps through OUR production train step vs the
     reference loop; per-step loss agreement + eval-mode forward parity at
     the end (the latter catches BN running-average semantics that the
     train-mode losses never read)."""
     n_steps, lr = 20, 1e-3
-    model, variables, ref = _init_and_share(arch, seed=1)
+    model, variables, ref = _init_and_share(arch, seed=1,
+                                            phase_tail=phase_tail)
     loss_fn = get_loss_function(loss_name)
 
     from food101_sr_tpu.training.diagnostics import FIRST_LAST

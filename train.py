@@ -69,8 +69,13 @@ def parse_args():
                         "space inside the train step (exact same math/"
                         "params/checkpoints; gradients equal to float "
                         "noise): measured +8.5%% train throughput on v5e. "
-                        "Off by default only because the committed torch-"
-                        "parity evidence was recorded on the standard tail")
+                        "DEFAULT ON — torch-reference gradient + SGD-"
+                        "trajectory parity is recorded with this tail "
+                        "(tests/test_training_parity_torch.py)")
+    p.add_argument("--no_phase_tail", action="store_false",
+                   dest="phase_tail",
+                   help="train with the materialized (standard) upsample "
+                        "tail instead")
     p.add_argument("--use_wandb", type=lambda s: s.lower() in ("1", "true"),
                    default=DEFAULTS["use_wandb"], nargs="?", const=True,
                    help="force W&B on/off (default: auto — on iff wandb is "
