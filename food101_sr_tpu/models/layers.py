@@ -213,6 +213,12 @@ class SEBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # plain XLA reduce, deliberately: the squeeze reads 27% of the
+        # serving step (trace: 32 convert_reduce fusions), but every
+        # attempt to beat it lost or tied on chip — a Pallas streaming
+        # kernel 141->188 ms/step (fusion barrier + forced layout copies),
+        # two-stage sum and MXU dot-with-ones both within noise of this
+        # form (ops/spatial_mean.py, DESIGN.md §2)
         y = jnp.mean(x, axis=(1, 2))  # [N, C]
         y = nn.Dense(
             self.channels // self.reduction, use_bias=False, dtype=self.dtype, name="fc1"

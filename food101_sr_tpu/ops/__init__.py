@@ -17,6 +17,7 @@ from .quantize import (
     quantize_per_tensor,
 )
 from .gaussian import gaussian_kernel_2d, depthwise_blur
+from .spatial_mean import spatial_mean
 from .tta import self_ensemble
 
 __all__ = [
@@ -37,4 +38,5 @@ __all__ = [
     "quantize_per_tensor",
     "gaussian_kernel_2d",
     "depthwise_blur",
+    "spatial_mean",
 ]
