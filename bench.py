@@ -45,7 +45,10 @@ import sys
 import time
 
 # TPU-scale workload (the real measurement).
-BATCH = 512  # +2% over 256, flat beyond (measured: 2546 -> 2600 img/s)
+BATCH = 256  # phase-tail batch scan (round 3): 256 -> 3666 img/s, 512 ->
+#              3625, 1024 -> 3633 (overhead-cancelled, tools/mfu_experiments)
+#              — 256 is fastest AND halves compile+run wall time vs the old
+#              512 (picked when the standard tail measured 2546 -> 2600)
 LR_SIZE = 50
 SCALE = 4
 N_SHORT, N_LONG = 5, 25
