@@ -1,3 +1,4 @@
+from .device_cache import DeviceCacheLoader, build_canvas_cache
 from .pipeline import (
     SRDataLoader,
     load_hr_crop,
@@ -9,9 +10,11 @@ from .pipeline import (
 from .sources import Food101Source, SyntheticSource
 
 __all__ = [
+    "DeviceCacheLoader",
     "Food101Source",
     "SRDataLoader",
     "SyntheticSource",
+    "build_canvas_cache",
     "load_hr_crop",
     "load_sample",
     "prepare_batch",

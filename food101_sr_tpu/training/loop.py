@@ -24,6 +24,7 @@ except ImportError:  # pragma: no cover
         return it
 
 from ..data import (
+    DeviceCacheLoader,
     Food101Source,
     SRDataLoader,
     SyntheticSource,
@@ -114,6 +115,21 @@ DEFAULTS: dict[str, Any] = {
                                 # (tests/test_phase_tail.py).
                                 # --no_phase_tail restores the
                                 # materialized tail.
+    "cache_device": False,      # park the (subset-scale) dataset in device
+                                # memory as uint8 canvases and draw batches
+                                # on-device (gather + crop + flip in one tiny
+                                # jit) — zero host work per step. Built for
+                                # the reference's sweep workflow (subset
+                                # 0.025-0.1 fits in well under 2 GB of HBM);
+                                # train-time crops are drawn from the central
+                                # cache_canvas square rather than the full
+                                # image (data/device_cache.py docstring).
+                                # Eval batches stay byte-identical to the
+                                # host loader. Single-process only.
+    "cache_canvas": 0,          # cached square side for TRAIN loaders
+                                # (0 = auto: max(256, crop_size)); larger =
+                                # more crop diversity, more HBM
+    "cache_budget_gb": 4.0,     # refuse caches above this (HBM safety)
     # Multi-host launch (parallel/distributed.py): same command on every
     # host; the mesh then spans all processes' devices and the loader
     # feeds each host its interleaved slice of the global batch.
@@ -203,6 +219,12 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
         # RNG are position-keyed, so grouping k of them back into one update
         # sees exactly the samples the unsplit batch would.
         b = micro if train else min(batch, max(len(indices) // n_dev * n_dev, n_dev))
+        if cfg.get("cache_device"):
+            return DeviceCacheLoader(
+                source, indices, crop_size=crop, batch_size=b, train=train,
+                sharding=shard, seed=cfg["seed"],
+                canvas=int(cfg.get("cache_canvas") or 0) or None,
+                max_cache_gb=float(cfg.get("cache_budget_gb") or 4.0))
         return SRDataLoader(source, indices, crop_size=crop, batch_size=b,
                             train=train, sharding=shard, seed=cfg["seed"])
 

@@ -76,6 +76,25 @@ def parse_args():
                    dest="phase_tail",
                    help="train with the materialized (standard) upsample "
                         "tail instead")
+    p.add_argument("--cache_device", action="store_true",
+                   default=DEFAULTS["cache_device"],
+                   help="cache the dataset in device memory as uint8 "
+                        "canvases and draw batches on-device (gather + "
+                        "random crop + flip in one jit) — zero host input "
+                        "work per step. Sized for the sweep/subset "
+                        "workflow (subset 0.1 of Food-101 ~ 1.3 GiB HBM); "
+                        "train crops come from the central canvas square "
+                        "rather than the full image (eval batches stay "
+                        "byte-identical to the host loader). "
+                        "Single-process only")
+    p.add_argument("--cache_canvas", type=int,
+                   default=DEFAULTS["cache_canvas"],
+                   help="side of the cached square for train loaders under "
+                        "--cache_device (0 = auto: max(256, crop_size)); "
+                        "bigger = more crop diversity, more HBM")
+    p.add_argument("--cache_budget_gb", type=float,
+                   default=DEFAULTS["cache_budget_gb"],
+                   help="refuse a --cache_device cache above this many GiB")
     p.add_argument("--use_wandb", type=lambda s: s.lower() in ("1", "true"),
                    default=DEFAULTS["use_wandb"], nargs="?", const=True,
                    help="force W&B on/off (default: auto — on iff wandb is "
