@@ -1,3 +1,4 @@
+from .canvas_cache import CanvasStore, DeviceWindowLoader, HostCanvasLoader
 from .device_cache import DeviceCacheLoader, build_canvas_cache
 from .pipeline import (
     SRDataLoader,
@@ -10,8 +11,11 @@ from .pipeline import (
 from .sources import Food101Source, SyntheticSource
 
 __all__ = [
+    "CanvasStore",
     "DeviceCacheLoader",
+    "DeviceWindowLoader",
     "Food101Source",
+    "HostCanvasLoader",
     "SRDataLoader",
     "SyntheticSource",
     "build_canvas_cache",

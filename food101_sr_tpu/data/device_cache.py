@@ -76,16 +76,18 @@ def build_canvas_cache(source, indices: np.ndarray, canvas: int,
         (0, canvas, canvas, 3), np.uint8)
 
 
-def _sample_batch(cache: jnp.ndarray, pos: jnp.ndarray, key: jax.Array,
-                  crop: int, train: bool) -> jnp.ndarray:
-    """Gather + (train only) random crop/flip, entirely on device.
+def _augment(imgs: jnp.ndarray, key: jax.Array, crop: int,
+             train: bool) -> jnp.ndarray:
+    """(train only) random crop/flip of a canvas batch, entirely on device.
 
-    cache: [N, S, S, 3] u8 (replicated) -> [B, crop, crop, 3] u8.
+    imgs: [B, S, S, 3] u8 -> [B, crop, crop, 3] u8.  Shared by the HBM
+    cache (below) and the disk-streaming canvas loader
+    (canvas_cache.py) — one augmentation contract for both device paths.
     """
-    imgs = jnp.take(cache, pos, axis=0)
-    canvas = cache.shape[1]
+    b = imgs.shape[0]
+    canvas = imgs.shape[1]
     if not train or canvas == crop:
-        top = jnp.full((pos.shape[0],), (canvas - crop) // 2, jnp.int32)
+        top = jnp.full((b,), (canvas - crop) // 2, jnp.int32)
         left = top
         if canvas != crop:
             imgs = jax.vmap(
@@ -96,16 +98,24 @@ def _sample_batch(cache: jnp.ndarray, pos: jnp.ndarray, key: jax.Array,
         crops = imgs
     else:
         k_top, k_left, key = jax.random.split(key, 3)
-        b = pos.shape[0]
         tops = jax.random.randint(k_top, (b,), 0, canvas - crop + 1)
         lefts = jax.random.randint(k_left, (b,), 0, canvas - crop + 1)
         crops = jax.vmap(
             lambda im, t, l: jax.lax.dynamic_slice(
                 im, (t, l, 0), (crop, crop, 3)))(imgs, tops, lefts)
     k_flip, _ = jax.random.split(key)
-    flips = jax.random.bernoulli(k_flip, 0.5, (pos.shape[0],))
+    flips = jax.random.bernoulli(k_flip, 0.5, (b,))
     return jnp.where(flips[:, None, None, None],
                      jnp.flip(crops, axis=2), crops)
+
+
+def _sample_batch(cache: jnp.ndarray, pos: jnp.ndarray, key: jax.Array,
+                  crop: int, train: bool) -> jnp.ndarray:
+    """Gather + augment, entirely on device.
+
+    cache: [N, S, S, 3] u8 (replicated) -> [B, crop, crop, 3] u8.
+    """
+    return _augment(jnp.take(cache, pos, axis=0), key, crop, train)
 
 
 class DeviceCacheLoader:

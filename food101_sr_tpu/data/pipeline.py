@@ -240,8 +240,11 @@ class SRDataLoader:
                     idx = order[start : start + self.batch_size]
                     work = process_local_slice(
                         list(enumerate(idx, start=start)), pi, pc)
-                    batch = np.stack(list(pool.map(one, work)))
-                    out.put(batch)
+                    # place on device from the producer (prefetch-to-device):
+                    # the H2D copy overlaps the consumer's step dispatch
+                    # instead of serializing with it at next() time
+                    out.put(self._to_global(
+                        np.stack(list(pool.map(one, work)))))
         except BaseException as e:  # propagate: a worker error (corrupt
             # file, OOM) must fail the epoch loudly, not truncate it
             out.put(e)
@@ -267,7 +270,7 @@ class SRDataLoader:
             if isinstance(batch, BaseException):
                 raise RuntimeError(
                     "data loader worker failed; epoch aborted") from batch
-            yield self._to_global(batch)
+            yield batch
 
     def _to_global(self, local_np: np.ndarray):
         """Host-local shard -> global device array. Single-process: a plain

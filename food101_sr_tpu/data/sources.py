@@ -54,6 +54,18 @@ class Food101Source:
         with open(self.paths[i], "rb") as f:
             return f.read()
 
+    def fingerprint(self) -> str:
+        """Stable identity for cache keying (data/canvas_cache.py): the
+        split's file list. Content changes under the same paths are the
+        user's cache-invalidation problem, as with any materialized
+        dataset format."""
+        import hashlib
+
+        h = hashlib.sha1()
+        for p in self.paths:
+            h.update(p.encode())
+        return f"food101:{len(self.paths)}:{h.hexdigest()[:16]}"
+
 
 class SyntheticSource:
     """Deterministic procedural RGB images with SR-relevant structure
@@ -71,6 +83,9 @@ class SyntheticSource:
 
     def __len__(self):
         return self.n
+
+    def fingerprint(self) -> str:
+        return f"synthetic:{self.n}:{self.seed}:{tuple(self.sizes)}"
 
     def __getitem__(self, i: int) -> Image.Image:
         rng = np.random.default_rng(self.seed * 1_000_003 + i)

@@ -25,7 +25,9 @@ except ImportError:  # pragma: no cover
 
 from ..data import (
     DeviceCacheLoader,
+    DeviceWindowLoader,
     Food101Source,
+    HostCanvasLoader,
     SRDataLoader,
     SyntheticSource,
     prepare_batch,
@@ -130,6 +132,34 @@ DEFAULTS: dict[str, Any] = {
                                 # (0 = auto: max(256, crop_size)); larger =
                                 # more crop diversity, more HBM
     "cache_budget_gb": 4.0,     # refuse caches above this (HBM safety)
+    "cache_host": "",           # directory for a DISK-staged canvas store
+                                # (data/canvas_cache.py): the dataset is
+                                # decoded ONCE into a memmapped uint8 store
+                                # (content-keyed, reused across runs) and
+                                # every epoch after that is decode-free —
+                                # canvases stream to HBM and crop/flip
+                                # happen on device, so per-step host work
+                                # is a block memcpy. Any dataset size that
+                                # fits on disk (full Food-101 ≈ 14 GiB at
+                                # canvas 256). Same train-crop contract and
+                                # determinism as --cache_device; eval
+                                # batches byte-identical to the streaming
+                                # loader. Empty = off.
+    "cache_host_budget_gb": 64.0,  # refuse disk stores above this
+    "cache_host_reuse": 0,      # >1: train through the HBM shuffle-window
+                                # loader (data/canvas_cache.py
+                                # DeviceWindowLoader) — refresh batch/reuse
+                                # window slots per step instead of shipping
+                                # a canvas per sample, cutting per-step H2D
+                                # bytes reuse-x. tf.data shuffle(buffer)
+                                # semantics (uniform-with-replacement draws
+                                # from the window; a full dataset pass every
+                                # `reuse` epochs) instead of exactly-once-
+                                # per-epoch — opt-in for hosts whose
+                                # H2D link can't feed the chip. Eval is
+                                # unaffected (exact HostCanvasLoader).
+    "cache_window": 0,          # window size in canvases (0 = auto from
+                                # the 1 GiB HBM window budget)
     # Multi-host launch (parallel/distributed.py): same command on every
     # host; the mesh then spans all processes' devices and the loader
     # feeds each host its interleaved slice of the global batch.
@@ -219,12 +249,32 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
         # RNG are position-keyed, so grouping k of them back into one update
         # sees exactly the samples the unsplit batch would.
         b = micro if train else min(batch, max(len(indices) // n_dev * n_dev, n_dev))
+        if cfg.get("cache_device") and cfg.get("cache_host"):
+            raise ValueError("--cache_device and --cache_host are exclusive "
+                             "input paths; pick one")
         if cfg.get("cache_device"):
             return DeviceCacheLoader(
                 source, indices, crop_size=crop, batch_size=b, train=train,
                 sharding=shard, seed=cfg["seed"],
                 canvas=int(cfg.get("cache_canvas") or 0) or None,
                 max_cache_gb=float(cfg.get("cache_budget_gb") or 4.0))
+        if cfg.get("cache_host"):
+            reuse = int(cfg.get("cache_host_reuse") or 0)
+            if train and reuse > 1:
+                return DeviceWindowLoader(
+                    source, indices, crop_size=crop, batch_size=b,
+                    sharding=shard, seed=cfg["seed"],
+                    cache_dir=str(cfg["cache_host"]), reuse=reuse,
+                    canvas=int(cfg.get("cache_canvas") or 0) or None,
+                    window=int(cfg.get("cache_window") or 0) or None,
+                    max_store_gb=float(
+                        cfg.get("cache_host_budget_gb") or 64.0))
+            return HostCanvasLoader(
+                source, indices, crop_size=crop, batch_size=b, train=train,
+                sharding=shard, seed=cfg["seed"],
+                cache_dir=str(cfg["cache_host"]),
+                canvas=int(cfg.get("cache_canvas") or 0) or None,
+                max_store_gb=float(cfg.get("cache_host_budget_gb") or 64.0))
         return SRDataLoader(source, indices, crop_size=crop, batch_size=b,
                             train=train, sharding=shard, seed=cfg["seed"])
 

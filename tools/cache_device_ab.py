@@ -75,12 +75,19 @@ def main():
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--json", default="",
                    help="append one JSON line with both numbers here")
+    p.add_argument("--legs", default="host_loader,host_canvas,device_cache",
+                   help="comma list of input paths to time")
+    p.add_argument("--store_dir", default="/tmp/canvas_store",
+                   help="cache dir for the host_canvas leg's disk store")
+    p.add_argument("--reuse", type=int, default=8,
+                   help="window reuse factor for the host_window leg")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from food101_sr_tpu.data import (DeviceCacheLoader, Food101Source,
+    from food101_sr_tpu.data import (DeviceCacheLoader, DeviceWindowLoader,
+                                     Food101Source, HostCanvasLoader,
                                      SRDataLoader)
     from food101_sr_tpu.losses import nlpd_loss
     from food101_sr_tpu.models import get_model
@@ -110,15 +117,25 @@ def main():
     n_long = args.steps
     n_short = max(2, n_long // 5)
 
+    legs = [l for l in args.legs.split(",") if l]
+    all_legs = {
+        "host_loader": lambda: SRDataLoader(
+            source, idx, crop_size=args.crop, batch_size=args.batch,
+            train=True, seed=0),
+        "host_canvas": lambda: HostCanvasLoader(
+            source, idx, crop_size=args.crop, batch_size=args.batch,
+            train=True, seed=0, canvas=args.canvas,
+            cache_dir=args.store_dir, max_store_gb=32.0),
+        "device_cache": lambda: DeviceCacheLoader(
+            source, idx, crop_size=args.crop, batch_size=args.batch,
+            train=True, seed=0, canvas=args.canvas, max_cache_gb=8.0),
+        "host_window": lambda: DeviceWindowLoader(
+            source, idx, crop_size=args.crop, batch_size=args.batch,
+            seed=0, canvas=args.canvas, cache_dir=args.store_dir,
+            max_store_gb=32.0, reuse=args.reuse),
+    }
     results = {}
-    for name, make_loader in (
-        ("host_loader", lambda: SRDataLoader(
-            source, idx, crop_size=args.crop, batch_size=args.batch,
-            train=True, seed=0)),
-        ("device_cache", lambda: DeviceCacheLoader(
-            source, idx, crop_size=args.crop, batch_size=args.batch,
-            train=True, seed=0, canvas=args.canvas, max_cache_gb=8.0)),
-    ):
+    for name, make_loader in ((n, all_legs[n]) for n in legs):
         t0 = time.perf_counter()
         batches = endless(make_loader)
         # fresh leaf copies: the donated step consumes the state buffers, so
@@ -142,14 +159,17 @@ def main():
               f"setup {setup:.1f}s incl. compile/cache build)")
         del batches, state
 
-    ratio = results["device_cache"]["img_per_s"] / max(
-        results["host_loader"]["img_per_s"], 1e-9)
-    print(f"device_cache is {ratio:.2f}x the host loader end-to-end")
     line = {"tool": "cache_device_ab", "architecture": args.architecture,
             "batch": args.batch, "crop": args.crop, "canvas": args.canvas,
             "n_images": int(len(idx)),
-            "platform": jax.devices()[0].platform,
-            "speedup": round(ratio, 2), **results}
+            "platform": jax.devices()[0].platform, **results}
+    if "host_loader" in results:
+        base = max(results["host_loader"]["img_per_s"], 1e-9)
+        for name in results:
+            if name != "host_loader":
+                r = round(results[name]["img_per_s"] / base, 2)
+                line[f"speedup_{name}"] = r
+                print(f"{name} is {r:.2f}x the host loader end-to-end")
     if args.json:
         with open(args.json, "a") as f:
             f.write(json.dumps(line) + "\n")

@@ -95,6 +95,37 @@ def parse_args():
     p.add_argument("--cache_budget_gb", type=float,
                    default=DEFAULTS["cache_budget_gb"],
                    help="refuse a --cache_device cache above this many GiB")
+    p.add_argument("--cache_host", type=str, default=DEFAULTS["cache_host"],
+                   metavar="DIR",
+                   help="disk-staged canvas store: decode the dataset ONCE "
+                        "into a memmapped uint8 store under DIR "
+                        "(content-keyed, reused across runs) and train "
+                        "decode-free — canvases stream to HBM and the "
+                        "crop/flip happens on device, so per-step host "
+                        "work is a block memcpy. Any dataset size that "
+                        "fits on disk (full Food-101 ~ 14 GiB at canvas "
+                        "256). Same train-crop contract/determinism as "
+                        "--cache_device; eval batches byte-identical to "
+                        "the streaming loader")
+    p.add_argument("--cache_host_budget_gb", type=float,
+                   default=DEFAULTS["cache_host_budget_gb"],
+                   help="refuse a --cache_host store above this many GiB")
+    p.add_argument("--cache_host_reuse", type=int,
+                   default=DEFAULTS["cache_host_reuse"], metavar="K",
+                   help="with --cache_host: K>1 trains through an HBM "
+                        "shuffle window — draw batches on device from a "
+                        "resident canvas window and refresh only batch/K "
+                        "slots per step, cutting per-step H2D bytes Kx "
+                        "(for hosts whose H2D link can't feed the chip). "
+                        "tf.data shuffle-buffer semantics: uniform-with-"
+                        "replacement draws, full dataset pass every K "
+                        "epochs, deterministic in (seed, epoch, step); "
+                        "eval batches are unaffected")
+    p.add_argument("--cache_window", type=int,
+                   default=DEFAULTS["cache_window"], metavar="N",
+                   help="shuffle-window size in canvases for "
+                        "--cache_host_reuse (0 = auto from a 1 GiB HBM "
+                        "budget)")
     p.add_argument("--use_wandb", type=lambda s: s.lower() in ("1", "true"),
                    default=DEFAULTS["use_wandb"], nargs="?", const=True,
                    help="force W&B on/off (default: auto — on iff wandb is "
