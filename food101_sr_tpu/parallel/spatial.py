@@ -5,7 +5,9 @@ reference visualize.py:47-58).
 
 Large images don't fit a single chip's VMEM-friendly shapes, and a batch of
 one wastes the mesh. Instead of halo *exchange* (ppermute'd edge strips
-inside shard_map), we express the halo as *overlap*: the image is cut into
+inside shard_map — that design lives in `spatial_mesh.py` for the
+one-giant-image-across-the-mesh case), we express the halo as *overlap*:
+the image is cut into
 windows of ``tile + 2*halo`` whose starts clamp at the borders, the windows
 become a plain batch sharded over the ``data`` mesh axis, and each window's
 owned interior is cropped from the model output and stitched back. With

@@ -1,0 +1,100 @@
+"""Halo-exchange spatially-sharded inference (`parallel/spatial_mesh.py`):
+rows sharded over the mesh, receptive-field halos exchanged via ppermute —
+must match the full-image forward exactly, including both clamped border
+slabs (device 0 and device D-1 take their halo entirely from one side)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from food101_sr_tpu.models import ResNetSR, get_model
+from food101_sr_tpu.parallel import cpu_mesh
+from food101_sr_tpu.parallel.spatial_mesh import (
+    halo_sharded_apply, halo_sharded_forward_for, row_sharding)
+
+
+def _init(model, shape):
+    return model.init({"params": jax.random.PRNGKey(0)},
+                      jnp.zeros(shape, jnp.float32), train=False)
+
+
+def _img(b, h, w, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).uniform(0, 1, (b, h, w, 3)).astype(np.float32)
+    )
+
+
+def _mesh8():
+    if len(jax.devices("cpu")) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    return cpu_mesh(8)
+
+
+def test_halo_sharded_matches_full_resnet():
+    """2-block ResNetSR, halo 16 (same exactness budget as the tiled test):
+    8 devices each own 32 rows, border slabs clamp."""
+    mesh = _mesh8()
+    model = ResNetSR(scale_factor=2, num_residuals=2, num_channels=16)
+    variables = _init(model, (1, 8, 8, 3))
+    fwd = lambda x: model.apply(variables, x, train=False)
+
+    x = _img(2, 256, 24)
+    full = fwd(x)
+    out = halo_sharded_apply(fwd, x, scale=2, halo=16, mesh=mesh)
+    assert out.shape == full.shape == (2, 512, 48, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_halo_sharded_matches_full_srcnn():
+    """SRCNN upsamples first (bicubic inside the model); halo 8 covers its
+    HR-space receptive field mapped back to LR rows."""
+    mesh = _mesh8()
+    model = get_model("SRCNN", scale_factor=4)
+    variables = _init(model, (1, 8, 8, 3))
+    fwd = lambda x: model.apply(variables, x, train=False)
+
+    x = _img(1, 128, 20, seed=3)
+    full = fwd(x)
+    out = halo_sharded_apply(fwd, x, scale=4, halo=8, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_halo_sharded_jitted_wrapper_and_sharding():
+    """The jitted convenience wrapper: exact output, and the result stays
+    row-sharded over the mesh (no silent gather to one device)."""
+    mesh = _mesh8()
+    model = ResNetSR(scale_factor=2, num_residuals=1, num_channels=8)
+    variables = _init(model, (1, 8, 8, 3))
+    run = halo_sharded_forward_for(model, variables, "RESNET", 2, mesh,
+                                   halo=12)
+    x = _img(1, 192, 16, seed=2)
+    out = run(x)
+    full = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                               atol=2e-5, rtol=1e-5)
+    assert out.sharding.is_equivalent_to(row_sharding(mesh), out.ndim)
+
+
+def test_halo_sharded_single_device_degenerates():
+    mesh = cpu_mesh(1)
+    model = ResNetSR(scale_factor=2, num_residuals=1, num_channels=8)
+    variables = _init(model, (1, 8, 8, 3))
+    fwd = lambda x: model.apply(variables, x, train=False)
+    x = _img(1, 32, 16, seed=1)
+    np.testing.assert_allclose(
+        np.asarray(halo_sharded_apply(fwd, x, scale=2, halo=8, mesh=mesh)),
+        np.asarray(fwd(x)), atol=1e-6)
+
+
+def test_halo_sharded_rejects_bad_shapes():
+    mesh = _mesh8()
+    model = ResNetSR(scale_factor=2, num_residuals=1, num_channels=8)
+    variables = _init(model, (1, 8, 8, 3))
+    fwd = lambda x: model.apply(variables, x, train=False)
+    with pytest.raises(ValueError, match="divide"):
+        halo_sharded_apply(fwd, _img(1, 100, 16), scale=2, halo=4, mesh=mesh)
+    with pytest.raises(ValueError, match="2\\*halo"):
+        # slab 8 < 2*halo 16: one neighbor's slab can't cover the halo
+        halo_sharded_apply(fwd, _img(1, 64, 16), scale=2, halo=8, mesh=mesh)
