@@ -571,12 +571,17 @@ def child_main():
     mode, quantize = parse_mode(sys.argv)
     platform = os.environ.get("FOOD101_BENCH_PLATFORM", "")
     cpu = platform == "cpu"
-    if cpu and mode != "input":
+    if cpu or mode == "input":
         # Pin BEFORE any backend init (the axon plugin ignores the
         # JAX_PLATFORMS env var) and drop the persistent compile cache —
-        # its XLA:CPU AOT entries warn on every reload.
+        # its XLA:CPU AOT entries warn on every reload. --input always
+        # pins CPU: it measures HOST batch production, and the loader now
+        # prefetches batches to device (pipeline.py _produce) — letting
+        # those device_puts ride the ~46 MB/s tunnel would fold H2D wire
+        # time into a number labeled img/s/core.
         import food101_sr_tpu
         food101_sr_tpu.use_cpu_backend()
+    if cpu and mode != "input":
         apply_cpu_scale()
         log(f"cpu-scale workload: batch {BATCH}, n {N_SHORT}/{N_LONG}, "
             f"repeats {REPEATS}")

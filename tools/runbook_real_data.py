@@ -12,11 +12,15 @@ TPU-VM host, and this tool is the first command in that runbook:
 It validates the on-disk layout (the exact one `Food101Source` reads),
 samples the production per-sample load path (native JPEG region decode +
 crop) to measure THIS host's input throughput, and turns that into a
-host-CPU sizing verdict: the measured chip train rate is ~985 img/s
-(bench.py --train, TPU v5e), one 2.1 GHz core feeds ~459 img/s of 512px
-JPEG → 200px crops (bench.py --input), so a 1-core host is input-bound at
-~0.5x chip rate while 4+ vCPUs feed the chip at full rate (the loader's
-thread pool + GIL-released native decode scale linearly with cores).
+host-CPU sizing verdict: the measured chip train rate is ~1,234 img/s
+(bench.py --train with the default fused phase tail, TPU v5e), one
+2.1 GHz core feeds ~459 img/s of 512px JPEG → 200px crops
+(bench.py --input), so a 1-core host is input-bound at ~0.4x chip rate
+while 4+ vCPUs feed the chip at full rate (the loader's thread pool +
+GIL-released native decode scale linearly with cores). Hosts that can't
+be sized up have two measured escape hatches: --cache_device (subsets
+that fit HBM) and --cache_host + --cache_host_reuse (decode-once disk
+canvas store + HBM shuffle window — full chip rate from a 1-core host).
 
 --print_commands emits the exact, copy-pasteable commands for the rest of
 the runbook (smoke train → winners → GAN fine-tune → report → int8
@@ -37,7 +41,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Measured on TPU v5e + the 1-core bench host (README §Measured performance).
-CHIP_TRAIN_IPS = 985.0     # bench.py --train: AttentionSR+NLPD+Adam, batch 128
+CHIP_TRAIN_IPS = 1234.0    # bench.py --train: AttentionSR+NLPD+Adam, batch 128, phase tail
 HOST_DECODE_IPS_PER_CORE = 459.0  # bench.py --input: 512px JPEG -> 200px crop
 FOOD101_TRAIN_IMAGES = 75_750     # the real dataset's split sizes
 FOOD101_TEST_IMAGES = 25_250
@@ -174,6 +178,11 @@ def main():
           f"{'INPUT-BOUND' if host_rate < CHIP_TRAIN_IPS else 'chip-bound'} "
           f"on this host; ~{need} cores at this per-core rate feed the "
           f"chip at full rate")
+    if host_rate < CHIP_TRAIN_IPS:
+        print("  input-bound escape hatches: --cache_device (subsets that "
+              "fit HBM) or --cache_host DIR --cache_host_reuse 8 (any "
+              "dataset; decode-once disk store + HBM shuffle window — "
+              "measured full chip rate from a 1-core host, RUNBOOK §1)")
     print(f"expected epoch wall-clock at {n_train} images: ~{epoch_s:.0f}s "
           f"({epoch_s / 60:.1f} min); real Food-101 "
           f"({FOOD101_TRAIN_IMAGES}): "
