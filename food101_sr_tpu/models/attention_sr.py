@@ -10,7 +10,8 @@ from typing import Any
 
 from flax import linen as nn
 
-from .layers import AttentionResidualBlock, Conv, PReLU, UpsampleBlock
+from .layers import (AttentionResidualBlock, Conv, PReLU, UpsampleBlock,
+                     scale_stages)
 
 
 class AttentionSR(nn.Module):
@@ -42,27 +43,28 @@ class AttentionSR(nn.Module):
         r = Conv(self.num_channels, 3, dtype=self.dtype,
                  quantize=self.quantize, name="mid_conv")(r)
         x = initial + r
-        assert self.scale_factor >= 2 and \
-            self.scale_factor & (self.scale_factor - 1) == 0, \
-            "tail is built from x2 stages: scale must be a power of two"
+        # Upsample tail from prime-factor stages (x4 -> two x2 stages, the
+        # reference's layout; x3/x6/... beyond-parity — the reference is
+        # powers-of-two only, src/models.py:160-167)
+        stages = scale_stages(self.scale_factor)
         if self.phase_tail:
             from ..ops.subpixel_conv import grouped_out_map
 
             r_acc, in_map = 1, None
-            for i in range(self.scale_factor.bit_length() - 1):
-                x = UpsampleBlock(out_channels=64, scale=2, dtype=self.dtype,
+            for i, s in enumerate(stages):
+                x = UpsampleBlock(out_channels=64, scale=s, dtype=self.dtype,
                                   phase_in=r_acc, phase_in_map=in_map,
                                   name=f"up_{i}")(x)
                 # a grouped stage emits (py, px, c, by, bx) channel order;
                 # the next kernel's gather absorbs it (zero runtime cost)
-                in_map = (grouped_out_map(64 * 4, r_acc)
+                in_map = (grouped_out_map(64 * s * s, r_acc, s=s)
                           if r_acc > 1 else None)
-                r_acc *= 2
+                r_acc *= s
             return Conv(3, 9, dtype=self.dtype,
                         subpixel_r=self.scale_factor, phase_in=r_acc,
                         phase_in_map=in_map, name="output_conv")(x)
-        for i in range(self.scale_factor.bit_length() - 1):
-            x = UpsampleBlock(out_channels=64, scale=2, dtype=self.dtype,
+        for i, s in enumerate(stages):
+            x = UpsampleBlock(out_channels=64, scale=s, dtype=self.dtype,
                               name=f"up_{i}")(x)
         return Conv(3, 9, dtype=self.dtype, subpixel_r=self.scale_factor,
                     name="output_conv")(x)

@@ -56,6 +56,29 @@ def icnr_kaiming_normal(scale: int) -> Callable:
     return init
 
 
+def scale_stages(scale: int) -> tuple:
+    """Upsample-stage factorization of ``scale``: prime factors, ascending.
+
+    x4 -> (2, 2) — the reference's two x2 stages (src/models.py:116-123) —
+    so registry checkpoints keep their exact param tree; x2 -> (2,),
+    x3 -> (3,), x6 -> (2, 3), x8 -> (2, 2, 2), x9 -> (3, 3)... Any integer
+    scale >= 2 works: PixelShuffle, ICNR, and the phase-space machinery
+    (ops/subpixel_conv) are all generic in the stage factor (the reference
+    hard-codes log2(scale) x2 stages and therefore powers of two only).
+    """
+    if int(scale) != scale or scale < 2:
+        raise ValueError(f"scale_factor must be an integer >= 2, got {scale}")
+    out, s, p = [], int(scale), 2
+    while p * p <= s:
+        while s % p == 0:
+            out.append(p)
+            s //= p
+        p += 1
+    if s > 1:
+        out.append(s)
+    return tuple(out)
+
+
 # ---------------------------------------------------------------------------
 # Conv with torch-style explicit padding
 # ---------------------------------------------------------------------------
@@ -333,9 +356,10 @@ class AttentionResidualBlock(nn.Module):
 
 
 class UpsampleBlock(nn.Module):
-    """conv3x3 (ICNR init) -> PixelShuffle(r) -> PReLU — one x2 stage of the
-    post-upsampling tail shared by ResNetSR/AttentionSR
-    (reference src/models.py:116-123,160-167).
+    """conv3x3 (ICNR init) -> PixelShuffle(r) -> PReLU — one x``scale``
+    stage of the post-upsampling tail shared by ResNetSR/AttentionSR
+    (reference src/models.py:116-123,160-167 — there always x2; any integer
+    stage factor works here, see ``scale_stages``).
 
     ``phase_in`` runs the stage entirely in phase space: the input is
     ``phase_in``-phase channel layout at LR resolution (``phase_in_map``

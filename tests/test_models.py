@@ -238,16 +238,18 @@ def test_model_for_params_infers_nonregistry_variants():
             assert getattr(rebuilt, k) == want, (arch, k)
 
 
-def test_power_of_two_scales_beyond_reference():
+def test_any_integer_scale_beyond_reference():
     """The reference hard-codes two x2 PixelShuffle stages (x4 only,
-    src/models.py:116-123); our tail generalizes to any power-of-two scale."""
+    src/models.py:116-123); our tail factorizes any integer scale >= 2
+    into prime stages (models/layers.scale_stages; x3/x6 exactness vs the
+    phase tail in tests/test_scales.py and test_phase_tail.py)."""
     import jax
     import jax.numpy as jnp
 
     from food101_sr_tpu.models import AttentionSR, ResNetSR
 
     for cls in (ResNetSR, AttentionSR):
-        for s in (2, 4, 8):
+        for s in (2, 3, 4, 6, 8):
             m = cls(scale_factor=s, num_channels=32, num_residuals=1)
             v = m.init({"params": jax.random.PRNGKey(0)},
                        jnp.zeros((1, 8, 8, 3)), train=False)
@@ -255,8 +257,8 @@ def test_power_of_two_scales_beyond_reference():
             assert out.shape == (1, 8 * s, 8 * s, 3), (cls.__name__, s)
         import pytest
 
-        with pytest.raises(AssertionError):
-            cls(scale_factor=3, num_channels=32, num_residuals=1).init(
+        with pytest.raises(ValueError):
+            cls(scale_factor=1, num_channels=32, num_residuals=1).init(
                 {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 8, 8, 3)),
                 train=False)
 

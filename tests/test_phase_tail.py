@@ -108,7 +108,7 @@ def test_upsample_block_phase_stage_matches_materialized():
     (AttentionSR, dict(num_residuals=2, num_channels=16)),
     (ResNetSR, dict(num_residuals=2, num_channels=16)),
 ])
-@pytest.mark.parametrize("scale", [2, 4, 8])
+@pytest.mark.parametrize("scale", [2, 3, 4, 6, 8])
 def test_model_phase_tail_exact_and_same_params(cls, kw, scale):
     """The full model with phase_tail=True: identical param tree (same
     checkpoints load) and fp32 outputs equal to float noise."""
