@@ -238,6 +238,7 @@ class HostCanvasLoader:
             out_shardings=self.sharding)
         self._key = jax.random.PRNGKey(self.seed)
         self._epoch = 0
+        self._start_batch = 0
         self._process_index = jax.process_index()
         self._process_count = jax.process_count()
         if self.batch_size % self._process_count:
@@ -248,8 +249,13 @@ class HostCanvasLoader:
     def __len__(self):
         return len(self.indices) // self.batch_size
 
-    def set_epoch(self, epoch: int):
+    def set_epoch(self, epoch: int, start_batch: int = 0):
+        """``start_batch`` fast-forwards the next iteration to that batch
+        (mid-epoch preemption resume): crops/flips are keyed by
+        (seed, epoch, batch), so the yielded tail is identical to the
+        uninterrupted epoch's and skipped batches are never assembled."""
         self._epoch = int(epoch)
+        self._start_batch = int(start_batch)
 
     def _assemble(self, work) -> np.ndarray:
         """Gather this process's canvases for one batch: a block memcpy per
@@ -267,13 +273,15 @@ class HostCanvasLoader:
             out[k] = canv[self.store.row_for(i)]
         return out
 
-    def _produce(self, order: np.ndarray, out: queue.Queue, epoch: int):
+    def _produce(self, order: np.ndarray, out: queue.Queue, epoch: int,
+                 start_batch: int = 0):
         """Producer thread: gather canvases AND place them on device, so
         the H2D copy overlaps the main thread's step dispatch instead of
         serializing with it at ``next()`` time (prefetch-to-device)."""
         pi, pc = self._process_index, self._process_count
         try:
-            for start in range(0, len(order) - self.batch_size + 1,
+            for start in range(start_batch * self.batch_size,
+                               len(order) - self.batch_size + 1,
                                self.batch_size):
                 idx = order[start:start + self.batch_size]
                 work = process_local_slice(
@@ -292,10 +300,12 @@ class HostCanvasLoader:
                 (self.seed, self._epoch, 7)).permutation(self.indices)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         epoch = self._epoch
+        start_batch = self._start_batch
         t = threading.Thread(target=self._produce,
-                             args=(order, q, epoch), daemon=True)
+                             args=(order, q, epoch, start_batch), daemon=True)
         t.start()
         self._epoch += 1
+        self._start_batch = 0
         while True:
             item = q.get()
             if item is None:
@@ -450,12 +460,19 @@ class DeviceWindowLoader:
         self._pos = None  # stream position AFTER the prefill, in canvases
         self._perm_cache = None
         self._epoch = 0
+        self._start_batch = 0
 
     def __len__(self):
         return len(self.indices) // self.batch_size
 
-    def set_epoch(self, epoch: int):
+    def set_epoch(self, epoch: int, start_batch: int = 0):
+        """``start_batch`` fast-forwards the next iteration to that step
+        (mid-epoch preemption resume): the window is a pure function of
+        stream position, so ``_rebuild_window`` reconstructs the exact
+        window the uninterrupted run held at that step, and draw keys are
+        (seed, epoch, step)-addressed — the yielded tail matches exactly."""
         self._epoch = int(epoch)
+        self._start_batch = int(start_batch)
 
     # -- the epoch stream: indices in epoch-permuted order, concatenated --
 
@@ -489,8 +506,19 @@ class DeviceWindowLoader:
         """Deterministically reconstruct the window for stream position
         ``pos`` (= upload the W canvases at [pos - W, pos)) — runs on the
         first epoch and after a --resume jump; sequential epochs carry the
-        window over and never pay this."""
+        window over and never pay this.
+
+        Ring invariant: sequential running always writes position p at row
+        p % W (prefill fills [0, W) at rows 0..W-1; refreshes land at
+        ptr = pos % W), and draws index rows directly — so the rebuild
+        must place each position at ITS ring row, not in stream order.
+        ``np.roll`` by pos % W does exactly that; without it any jump to a
+        pos not a multiple of W (every mid-epoch preemption resume, and
+        epoch jumps whenever steps*refresh % W != 0) would draw the right
+        canvas SET through the wrong row permutation
+        (tests/test_preempt.py::test_window_loader_start_batch)."""
         chunk = self._stream_chunk(pos - self.window, self.window)
+        chunk = np.roll(chunk, pos % self.window, axis=0)
         if self._rep is not None:
             self._window_dev = jax.device_put(chunk, self._rep)
         else:
@@ -519,16 +547,18 @@ class DeviceWindowLoader:
 
     def __iter__(self) -> Iterator:
         epoch = self._epoch
-        start = self._epoch_start_pos(epoch)
+        start_batch = self._start_batch
+        start = self._epoch_start_pos(epoch) + start_batch * self._refresh
         if self._pos != start:
             self._rebuild_window(start)
-        steps = len(self)
+        steps = len(self) - start_batch
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=self._produce,
                              args=(q, start, steps), daemon=True)
         t.start()
         self._epoch += 1
-        produced = 0
+        self._start_batch = 0
+        produced = start_batch
         while True:
             item = q.get()
             if item is None:

@@ -197,12 +197,18 @@ class DeviceCacheLoader:
         )
         self._key = jax.random.PRNGKey(self.seed)
         self._epoch = 0
+        self._start_batch = 0
 
     def __len__(self):
         return len(self.indices) // self.batch_size
 
-    def set_epoch(self, epoch: int):
+    def set_epoch(self, epoch: int, start_batch: int = 0):
+        """``start_batch`` fast-forwards the next iteration to that batch
+        (mid-epoch preemption resume): crops/flips are keyed by
+        (seed, epoch, batch), so the tail matches the uninterrupted epoch
+        exactly and the skipped batches cost nothing."""
         self._epoch = int(epoch)
+        self._start_batch = int(start_batch)
 
     def _sample(self, pos: np.ndarray, key: jax.Array):
         return self._fn(self._cache, jnp.asarray(pos, jnp.int32), key)
@@ -216,8 +222,10 @@ class DeviceCacheLoader:
         else:
             order = np.arange(n)
         epoch = self._epoch
+        start_batch = self._start_batch
         self._epoch += 1
-        for b in range(len(self)):
+        self._start_batch = 0
+        for b in range(start_batch, len(self)):
             pos = order[b * self.batch_size:(b + 1) * self.batch_size]
             # crops/flips are a pure function of (seed, epoch, batch) — the
             # same keying discipline as the host loader, so --resume replay

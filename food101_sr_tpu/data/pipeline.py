@@ -198,6 +198,7 @@ class SRDataLoader:
             num_workers = min(16, os.cpu_count() or 1)
         self.num_workers = max(1, int(num_workers))
         self._epoch = 0
+        self._start_batch = 0
         self._process_index = jax.process_index()
         self._process_count = jax.process_count()
         if self.batch_size % self._process_count:
@@ -208,13 +209,19 @@ class SRDataLoader:
     def __len__(self):
         return len(self.indices) // self.batch_size
 
-    def set_epoch(self, epoch: int):
+    def set_epoch(self, epoch: int, start_batch: int = 0):
         """Pin the shuffle/augment seed epoch (torch DistributedSampler
         convention). The training loop calls this each epoch so a resumed
-        run replays the exact data order of the original."""
+        run replays the exact data order of the original. ``start_batch``
+        fast-forwards the NEXT iteration to that batch index (mid-epoch
+        preemption resume): augment RNG is keyed by global sample position,
+        so the skipped batches are never decoded and the yielded tail is
+        byte-identical to the uninterrupted epoch's."""
         self._epoch = int(epoch)
+        self._start_batch = int(start_batch)
 
-    def _produce(self, order: np.ndarray, out: queue.Queue, epoch: int):
+    def _produce(self, order: np.ndarray, out: queue.Queue, epoch: int,
+                 start_batch: int = 0):
         """Assemble batches with a thread pool: PIL decode/resize release the
         GIL, so parallel workers multiply host throughput (the reference runs
         num_workers=0, fully serial — SURVEY §7 quirk list). Augmentation RNG
@@ -235,7 +242,8 @@ class SRDataLoader:
         pi, pc = self._process_index, self._process_count
         try:
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for start in range(0, len(order) - self.batch_size + 1,
+                for start in range(start_batch * self.batch_size,
+                                   len(order) - self.batch_size + 1,
                                    self.batch_size):
                     idx = order[start : start + self.batch_size]
                     work = process_local_slice(
@@ -258,11 +266,14 @@ class SRDataLoader:
                 self.indices
             )
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        start_batch = getattr(self, "_start_batch", 0)
         t = threading.Thread(
-            target=self._produce, args=(order, q, self._epoch), daemon=True
+            target=self._produce, args=(order, q, self._epoch, start_batch),
+            daemon=True
         )
         t.start()
         self._epoch += 1
+        self._start_batch = 0  # one-shot: only the resumed epoch skips
         while True:
             batch = q.get()
             if batch is None:

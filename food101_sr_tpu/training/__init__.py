@@ -2,6 +2,7 @@ from .checkpoint import (load_checkpoint, load_train_checkpoint,
                          save_checkpoint, save_train_checkpoint,
                          warm_start_params)
 from .loop import DEFAULTS, train
+from .preempt import PreemptionGuard
 from .schedule import EarlyStopping, ReduceLROnPlateau
 from .state import SRTrainState, make_adam
 from .steps import (
@@ -18,6 +19,7 @@ from .steps import (
 __all__ = [
     "DEFAULTS",
     "EarlyStopping",
+    "PreemptionGuard",
     "ReduceLROnPlateau",
     "SRTrainState",
     "add_noise",

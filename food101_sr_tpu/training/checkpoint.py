@@ -56,17 +56,24 @@ def load_checkpoint(path: str, target: Any = None) -> Any:
 
 
 def save_train_checkpoint(state: Any, epoch: int, scheduler, stopper,
-                          path: str, d_state: Any = None) -> str:
+                          path: str, d_state: Any = None,
+                          batch: int = 0) -> str:
     """Preemption-resume checkpoint: the FULL train state (params + extra
     collections + optimizer state + step) plus host-side control state
     (epoch, plateau scheduler, early stopper). The reference's checkpoints
     are weights-only and silently restart the schedule on warm start
     (reference train.py:52-53; SURVEY §5 checkpoint row) — on TPU slices,
-    periodic full-state checkpoints are the failure-recovery mechanism."""
+    periodic full-state checkpoints are the failure-recovery mechanism.
+
+    ``batch``: microbatches of ``epoch`` consumed at save time. 0 means
+    the epoch completed (the per-epoch rolling save); >0 is a mid-epoch
+    preemption save (training/preempt.py) and ``--resume`` fast-forwards
+    the epoch-seeded loader to exactly that batch."""
     tree = {
         "g": _state_tree(state),
         "host": {
             "epoch": np.asarray(epoch, np.int32),
+            "batch": np.asarray(batch, np.int32),
             "scheduler": {k: np.asarray(v)
                           for k, v in scheduler.state_dict().items()},
             "stopper": {k: np.asarray(v)
@@ -82,11 +89,14 @@ def load_train_checkpoint(path: str, state: Any, scheduler, stopper,
                           d_state: Any = None):
     """Restore a ``save_train_checkpoint`` checkpoint into freshly-built
     states (same model/optimizer config). Returns
-    (state, d_state_or_None, next_epoch)."""
+    (state, d_state_or_None, start_epoch, start_batch): resume training at
+    epoch ``start_epoch`` skipping its first ``start_batch`` microbatches
+    (0 for the per-epoch rolling saves; >0 for mid-epoch preemption saves)."""
     target = {
         "g": _state_tree(state),
         "host": {
             "epoch": np.asarray(0, np.int32),
+            "batch": np.asarray(0, np.int32),
             "scheduler": {k: np.asarray(v)
                           for k, v in scheduler.state_dict().items()},
             "stopper": {k: np.asarray(v)
@@ -100,11 +110,16 @@ def load_train_checkpoint(path: str, state: Any, scheduler, stopper,
     except Exception:
         # optional-state drift: reshape the typed target to the keys the
         # checkpoint actually holds, restore, then reconcile back to the
-        # fresh state's configuration (see _OPTIONAL_STATE_KEYS)
+        # fresh state's configuration (see _OPTIONAL_STATE_KEYS). "batch"
+        # is likewise optional: rolling checkpoints written before the
+        # mid-epoch preemption saves existed carry no such key (epoch
+        # boundary == batch 0).
         target["g"] = _drift_target(target["g"], state, _ckpt_keys(path, "g"))
         if d_state is not None:
             target["d"] = _drift_target(target["d"], d_state,
                                         _ckpt_keys(path, "d"))
+        if "batch" not in _ckpt_keys(path, "host"):
+            target["host"].pop("batch")
         tree = load_checkpoint(path, target)
         tree["g"] = _reconcile_optional(tree["g"], state)
         if d_state is not None:
@@ -113,7 +128,11 @@ def load_train_checkpoint(path: str, state: Any, scheduler, stopper,
     stopper.load_state_dict(tree["host"]["stopper"])
     new_state = state.replace(**tree["g"])
     new_d = d_state.replace(**tree["d"]) if d_state is not None else None
-    return new_state, new_d, int(tree["host"]["epoch"]) + 1
+    batch = int(tree["host"].get("batch", 0))
+    epoch = int(tree["host"]["epoch"])
+    # batch 0: the epoch completed -> start the next one. batch > 0: the
+    # epoch was preempted mid-flight -> re-enter it at that batch.
+    return (new_state, new_d, epoch if batch else epoch + 1, batch)
 
 
 def _state_tree(state) -> dict:

@@ -52,6 +52,7 @@ from .checkpoint import (
     warm_start_params,
 )
 from .diagnostics import FIRST_LAST
+from .preempt import PreemptionGuard
 from .schedule import EarlyStopping, ReduceLROnPlateau
 from .state import SRTrainState, make_adam
 from .steps import (
@@ -160,6 +161,11 @@ DEFAULTS: dict[str, Any] = {
                                 # unaffected (exact HostCanvasLoader).
     "cache_window": 0,          # window size in canvases (0 = auto from
                                 # the 1 GiB HBM window budget)
+    "preempt_after_updates": 0,  # >0: trigger a graceful preemption after
+                                # that many optimizer updates — the same
+                                # save+exit path a real SIGTERM takes
+                                # (training/preempt.py). For preemption
+                                # drills and fixed-update smoke budgets.
     # Multi-host launch (parallel/distributed.py): same command on every
     # host; the mesh then spans all processes' devices and the loader
     # feeds each host its interleaved slice of the global batch.
@@ -374,23 +380,39 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
     noise_rng = jax.random.PRNGKey(cfg["seed"] + 3)
 
     # --- preemption resume (full state incl. optimizer + host control) ----
-    start_epoch = 0
+    start_epoch, start_batch = 0, 0
     if cfg["resume"]:
-        g_state_raw, d_state_raw, start_epoch = load_train_checkpoint(
-            cfg["resume"], g_state_raw, scheduler, stopper, d_state_raw
-        )
-        print(f"Resumed from {cfg['resume']} at epoch {start_epoch} "
-              f"(step {int(g_state_raw.step)}, lr {scheduler.lr})")
+        g_state_raw, d_state_raw, start_epoch, start_batch = \
+            load_train_checkpoint(
+                cfg["resume"], g_state_raw, scheduler, stopper, d_state_raw)
+        if start_batch % accum:
+            raise ValueError(
+                f"checkpoint resumes mid-epoch at microbatch {start_batch}, "
+                f"not a multiple of --grad_accum {accum}: it was written "
+                f"under a different accumulation grouping")
+        print(f"Resumed from {cfg['resume']} at epoch {start_epoch}"
+              + (f" batch {start_batch}" if start_batch else "")
+              + f" (step {int(g_state_raw.step)}, lr {scheduler.lr})")
     g_state = replicate(g_state_raw, mesh)
     g_state = g_state.set_learning_rate(scheduler.lr)
     d_state = replicate(d_state_raw, mesh) if d_state_raw is not None else None
     del g_state_raw, d_state_raw
 
     # --- epoch loop --------------------------------------------------------
-    for epoch in range(start_epoch, int(cfg["epochs"])):
-        train_loader.set_epoch(epoch)  # resume replays exact data order
+    # SIGTERM (TPU preemption notice) -> flag -> full-state save at the
+    # next update boundary + clean exit; --resume re-enters the epoch at
+    # that exact batch (training/preempt.py; tests/test_preempt.py proves
+    # preempted+resumed == uninterrupted, leaf-exact)
+    guard = PreemptionGuard()
+    preempted = False
+    updates_done = 0
+    preempt_after = int(cfg.get("preempt_after_updates") or 0)
+    with guard:  # epoch loop body keeps its indentation (minimal diff)
+      for epoch in range(start_epoch, int(cfg["epochs"])):
+        skip = start_batch if epoch == start_epoch else 0
+        train_loader.set_epoch(epoch, start_batch=skip)  # exact replay
         d_metrics = {}
-        bar = tqdm(train_loader, total=len(train_loader),
+        bar = tqdm(train_loader, total=len(train_loader) - skip,
                    desc=f"Epoch {epoch + 1}/{cfg['epochs']}", leave=False)
         profile_steps = int(cfg["profile_steps"]) if epoch == start_epoch else 0
         profiling = False
@@ -399,7 +421,7 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
         # after every jit in the update path has compiled (batch 0 for the
         # fused/GAN steps; grad_add at batch 1 and accum_apply at batch
         # accum-1 under --grad_accum, so the first full group ends first)
-        trace_start = 1 if accum == 1 else accum
+        trace_start = skip + (1 if accum == 1 else accum)
         trace_len = profile_steps * accum  # microbatches per logical update
         if profile_steps and trace_start >= len(train_loader):
             # too few microbatches to skip the warmup batches: trace from
@@ -408,8 +430,8 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
             # steady-state)
             print(f"WARNING: epoch has {len(train_loader)} microbatches <= "
                   f"trace start {trace_start}; trace will include compile")
-            trace_start = 0
-        for batch_idx, hr_u8 in enumerate(bar):
+            trace_start = skip
+        for batch_idx, hr_u8 in enumerate(bar, start=skip):
             if profile_steps and batch_idx == trace_start:
                 jax.profiler.start_trace(cfg["profile_dir"])
                 profiling = True
@@ -455,9 +477,26 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
                         log_data.get("nonfinite_steps_D", 0):
                     print(f"WARNING: non-finite loss/grads at epoch {epoch} "
                           f"update {logical_idx}; update skipped (state kept)")
+            # graceful preemption: only at update boundaries (state is
+            # consistent here; mid-accum-group paths `continue` above)
+            updates_done += 1
+            if preempt_after and updates_done >= preempt_after:
+                guard.request()
+            if guard.poll(logical_idx):
+                preempted = True
+                break
         if profiling:  # epoch shorter than the requested trace window
             jax.profiler.stop_trace()
             print(f"Wrote device trace to {cfg['profile_dir']}")
+        if preempted:
+            if is_main:
+                save_train_checkpoint(g_state, epoch, scheduler, stopper,
+                                      last_path, d_state=d_state,
+                                      batch=batch_idx + 1)
+            print(f"Preemption: full state saved mid-epoch {epoch} after "
+                  f"batch {batch_idx} -> {last_path}; continue with "
+                  f"--resume {last_path}")
+            break
 
         # --- validation ----------------------------------------------------
         psnrs, losses = [], []
@@ -496,6 +535,13 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
         if stopper.should_stop:
             print("Early stopping triggered")
             break
+
+    if preempted:
+        # the grace window is for saving, not for a full test sweep; the
+        # resumed run finishes the epoch and evaluates as usual
+        logger.log({"preempted": 1})
+        return {"preempted": True,
+                "val_psnr": stopper.best if np.isfinite(stopper.best) else 0.0}
 
     # --- final test eval -----------------------------------------------------
     print("\nRunning Final Test Set Evaluation...")

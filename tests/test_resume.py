@@ -38,10 +38,12 @@ def test_train_checkpoint_roundtrip(tmp_path):
     state2 = _state(model, (1, 8, 8, 3), seed=1)  # different init
     sched2 = ReduceLROnPlateau(1e-3)
     stop2 = EarlyStopping(patience=3)
-    state2, d2, next_epoch = load_train_checkpoint(path, state2, sched2, stop2)
+    state2, d2, next_epoch, start_batch = load_train_checkpoint(
+        path, state2, sched2, stop2)
 
     assert d2 is None
     assert next_epoch == 5
+    assert start_batch == 0  # epoch-boundary save: start the next epoch
     assert int(state2.step) == 7
     assert sched2.best == 20.0 and sched2.num_bad == 1
     assert stop2.best == 20.0 and stop2.counter == 1

@@ -70,6 +70,23 @@ def test_icnr_is_nn_upsample_at_r3():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_tiled_apply_exact_at_x3():
+    """The serving halo-tiling path must stay exact at non-power-of-two
+    scales (stitch geometry is scale*tile; nothing may assume scale=4)."""
+    from food101_sr_tpu.parallel import tiled_apply
+
+    model = ResNetSR(scale_factor=3, num_residuals=2, num_channels=16)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 8, 8, 3), jnp.float32), train=False)
+    fwd = lambda x: model.apply(v, x, train=False)
+    x = jnp.asarray(np.random.default_rng(6)
+                    .uniform(0, 1, (1, 48, 48, 3)).astype(np.float32))
+    full = fwd(x)
+    tiled = tiled_apply(fwd, x, scale=3, tile=16, halo=16)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_train_step_runs_at_x3():
     """One production train step at scale 3 (crop divisible by 3):
     uint8 -> on-device degrade -> forward -> NLPD -> Adam update."""

@@ -41,6 +41,14 @@ def parse_args():
                    help="trace this many train steps (first epoch) with "
                         "jax.profiler into --profile_dir")
     p.add_argument("--profile_dir", type=str, default=DEFAULTS["profile_dir"])
+    p.add_argument("--preempt_after_updates", type=int,
+                   default=DEFAULTS["preempt_after_updates"],
+                   help="simulate a preemption: after N optimizer updates, "
+                        "take the same graceful path a SIGTERM takes — "
+                        "full-state save at the update boundary, clean "
+                        "exit, mid-epoch --resume (preemption drills / "
+                        "fixed-update smoke budgets). 0 = off; real "
+                        "SIGTERMs are always handled")
     p.add_argument("--ema", type=float, default=DEFAULTS["ema"],
                    help="EMA decay for generator params (e.g. 0.999); EMA "
                         "weights are validated and checkpointed. 0 = off")
