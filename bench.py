@@ -64,7 +64,10 @@ FALLBACK_BASELINE_IPS = 2.40
 
 WALL_BUDGET_S = float(os.environ.get("FOOD101_BENCH_BUDGET_S", "480"))
 PROBE_TIMEOUT_S = 120.0
-CPU_RESERVE_S = 90.0  # supervisor holds this back for the CPU rescue leg
+CPU_RESERVE_S = 60.0  # supervisor holds this back for the CPU rescue leg
+#                       (measured: the CPU-sized fallback finishes in ~35 s;
+#                       every second not reserved goes to the TPU child's
+#                       backend-init/compile window instead)
 
 
 def log(*a):
@@ -175,11 +178,13 @@ def _last_json(text: str) -> dict | None:
 def _run_child(platform: str, timeout: float) -> dict | None:
     """One measurement attempt in a child process; validated JSON or None.
 
-    The infer child prints a PROVISIONAL line (standard-tail program,
-    ~15s compile) before attempting the faster phase-tail program (whose
-    cold compile through the tunnel has been observed at 100-230s) — so a
-    timeout kill mid-compile still salvages a real chip measurement from
-    the child's partial stdout instead of falling back to CPU."""
+    The infer child does chip work first and prints PROVISIONAL lines as
+    soon as it has any measurement (standard-tail program, then again with
+    the measured torch baseline) before attempting the faster phase-tail
+    program (whose cold compile through the tunnel has been observed at
+    100-230s) — so a timeout kill mid-compile still salvages a real chip
+    measurement from the child's partial stdout instead of falling back
+    to CPU."""
     if timeout < 5:
         return None
     env = dict(os.environ)
@@ -605,15 +610,27 @@ def child_main():
             baseline = FALLBACK_BASELINE_IPS  # torch re-measure wastes the
             # tiny CPU budget; the recorded same-host number is the baseline
         else:
+            # Chip work FIRST. Through a cold tunnel, backend init + the
+            # first compile dominate the child's budget (observed >300 s on
+            # a wiped /tmp/jax_cache with a slow tunnel) — every second
+            # spent on the torch baseline before them is a second the
+            # salvage path can't use. Tiered provisional lines, each
+            # overwriting the previous one in the supervisor's salvage:
+            #   1. standard-tail measurement (fastest-compiling program)
+            #      with the recorded same-host fallback baseline ratio;
+            #   2. same measurement re-stated against the freshly measured
+            #      torch baseline;
+            #   3. the production phase-tail program (faster to RUN, +26%
+            #      measured, but slow to COMPILE cold: 100-230 s observed).
+            std = bench_tpu(quantize, phase_tail=False)
+            print(json.dumps({
+                "metric": metric, "value": round(std, 1), "unit": unit,
+                "vs_baseline": round(std / FALLBACK_BASELINE_IPS, 2),
+                "tail": "standard",
+                "baseline": "recorded-fallback"}), flush=True)
             baseline = bench_torch_reference()
             if baseline is None:
                 baseline = FALLBACK_BASELINE_IPS
-            # Staged measurement: the standard-tail program compiles fast
-            # (~15s through the tunnel), the production phase-tail program
-            # is faster to RUN (+26% measured) but slow to COMPILE cold
-            # (100-230s observed). Print a complete provisional line first
-            # so a supervisor kill mid-compile salvages a real chip number.
-            std = bench_tpu(quantize, phase_tail=False)
             print(json.dumps({
                 "metric": metric, "value": round(std, 1), "unit": unit,
                 "vs_baseline": (round(std / baseline, 2)
