@@ -21,6 +21,7 @@ def analyze_models():
         ("AttentionSR (96ch, trained)", get_model("AttentionSR"), (1, 50, 50, 3)),
         ("AttentionSR (64ch variant)",
          AttentionSR(num_channels=64, num_residuals=32), (1, 50, 50, 3)),
+        ("RRDB (ESRGAN, beyond-parity)", get_model("RRDB"), (1, 50, 50, 3)),
         ("Discriminator", Discriminator(), (1, 200, 200, 3)),
     ]
     print(f"{'Model Name':<30} | {'Params':<12} | {'Size (MB)':<10}")

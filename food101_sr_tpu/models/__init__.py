@@ -14,6 +14,7 @@ from .layers import (
 )
 from .registry import (detect_architecture, get_model, model_for_params,
                        model_names, param_count)
+from .rrdb import RRDB, RRDBNet, ResidualDenseBlock
 from .srcnn import SRCNN
 from .resnet_sr import ResNetSR
 
@@ -23,8 +24,11 @@ __all__ = [
     "Conv",
     "Discriminator",
     "PReLU",
+    "RRDB",
+    "RRDBNet",
     "ResNetSR",
     "ResidualBlock",
+    "ResidualDenseBlock",
     "SEBlock",
     "SNConv",
     "SNDense",

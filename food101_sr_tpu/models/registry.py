@@ -12,6 +12,7 @@ from flax import linen as nn
 
 from .attention_sr import AttentionSR
 from .discriminator import Discriminator
+from .rrdb import RRDBNet
 from .srcnn import SRCNN
 from .resnet_sr import ResNetSR
 
@@ -27,6 +28,12 @@ _REGISTRY = {
     AttentionSR(
         scale_factor=scale, num_residuals=32, num_channels=96, dtype=dtype,
         remat=remat, quantize=quantize, phase_tail=phase_tail,
+    ),
+    # Beyond-parity family (no reference counterpart): the ESRGAN generator
+    # at its published scale — 64 ch, growth 32, 23 RRDBs (models/rrdb.py).
+    "RRDB": lambda scale, dtype, remat, quantize, phase_tail: RRDBNet(
+        scale_factor=scale, num_channels=64, growth=32, num_blocks=23,
+        dtype=dtype, remat=remat, quantize=quantize, phase_tail=phase_tail,
     ),
 }
 
@@ -77,6 +84,8 @@ def detect_architecture(params) -> str:
         return "Discriminator"
     if "conv1" in params and "input_conv" not in params:
         return "SRCNN"
+    if "rrdb_0" in params:
+        return "RRDB"
     if "se" in params.get("res_0", {}):
         return "AttentionSR"
     if "bn1" in params.get("res_0", {}):
@@ -93,14 +102,17 @@ def model_for_params(params, scale_factor: int = 4, dtype: Any = None,
     reference analysis tools' 64-channel AttentionSR,
     reference src/analyze_models.py:20) load without flags.
 
-    For ResNetSR/AttentionSR the checkpoint's up_* stages determine the
-    scale (2^n_stages) and OVERRIDE ``scale_factor`` — a mismatch would
-    otherwise silently serve the wrong scale (flax ignores unused params)
-    or crash on a missing stage. SRCNN's params are scale-independent
-    (bicubic pre-upsample), so ``scale_factor`` is taken as given there.
+    For the post-upsampling nets (ResNetSR/AttentionSR/RRDBNet) the
+    checkpoint's up_* stages determine the scale and OVERRIDE
+    ``scale_factor`` — a mismatch would otherwise silently serve the wrong
+    scale (flax ignores unused params) or crash on a missing stage. Each
+    stage's factor comes from its conv kernel shape (cout = 64·s², the
+    UpsampleBlock invariant), so non-power-of-two checkpoints (x3, x6, ...)
+    resolve correctly too. SRCNN's params are scale-independent (bicubic
+    pre-upsample), so ``scale_factor`` is taken as given there.
     """
     arch = detect_architecture(params)
-    if quantize and arch not in ("RESNET", "AttentionSR"):
+    if quantize and arch not in ("RESNET", "AttentionSR", "RRDB"):
         raise ValueError(f"quantize: {arch} has no quantizable body stack")
     if quantize not in ("", "int8", "int8_dot", "qat"):
         raise ValueError(f"Unknown quantize mode: {quantize!r}")
@@ -111,11 +123,28 @@ def model_for_params(params, scale_factor: int = 4, dtype: Any = None,
     if arch == "Discriminator":
         return Discriminator(nf=params["block_0"]["sn"]["kernel"].shape[-1],
                              dtype=dtype)
-    cls = AttentionSR if arch == "AttentionSR" else ResNetSR
     n_up = sum(1 for k in params if k.startswith("up_"))
+    scale = 1
+    for i in range(n_up):
+        cout = params[f"up_{i}"]["conv"]["conv"]["kernel"].shape[-1]
+        s = round((cout / 64) ** 0.5)
+        assert cout == 64 * s * s, f"up_{i}: unexpected kernel cout {cout}"
+        scale *= s
+    nf = params["input_conv"]["conv"]["kernel"].shape[-1]
+    if arch == "RRDB":
+        return RRDBNet(
+            scale_factor=scale, num_channels=nf,
+            growth=params["rrdb_0"]["dense1"]["conv1"]["conv"]["kernel"]
+            .shape[-1],
+            num_blocks=1 + max(int(k.split("_")[1]) for k in params
+                               if k.startswith("rrdb_")),
+            dtype=dtype, remat=remat, quantize=quantize,
+            phase_tail=phase_tail,
+        )
+    cls = AttentionSR if arch == "AttentionSR" else ResNetSR
     return cls(
-        scale_factor=1 << n_up,
-        num_channels=params["input_conv"]["conv"]["kernel"].shape[-1],
+        scale_factor=scale,
+        num_channels=nf,
         num_residuals=1 + max(int(k.split("_")[1]) for k in params
                               if k.startswith("res_")),
         dtype=dtype, remat=remat, quantize=quantize, phase_tail=phase_tail,

@@ -1,0 +1,137 @@
+"""RRDBNet — ESRGAN-style Residual-in-Residual Dense Block generator.
+
+A beyond-parity model family (the reference, src/models.py, stops at the
+SRResNet-style ResNetSR and the channel-attention AttentionSR): RRDB is the
+canonical next step on the same axis — the ESRGAN generator (Wang et al.,
+ECCV 2018 workshops) that replaced SRGAN's BN residual blocks with
+BN-free residual-in-residual dense blocks. It slots into this framework's
+GAN branch (relativistic discriminator, perceptual loss — the reference's
+train.py:86-114 recipe is itself the SRGAN/ESRGAN training scheme).
+
+TPU-native design choices, deliberately shared with ResNetSR/AttentionSR
+instead of transliterating the original torch layout:
+
+* NHWC convs on the MXU; the five dense convs of each block feed a single
+  growing concat axis, which XLA fuses into the conv inputs (channel
+  concat is free at the operand level — no materialized copies).
+* The upsample tail is this framework's PixelShuffle tail (ICNR-initialized
+  conv stages from ``scale_stages``, any integer scale >= 2) rather than
+  ESRGAN's nearest-neighbor-upsample+conv: checkerboard-free at init,
+  exactly phase-fusable (``phase_tail=True`` runs the whole tail at LR
+  resolution in pixel-shuffle phase space — the measured +21% serving
+  path of DESIGN.md §2 applies unchanged), and shares ``output_conv``
+  naming so diagnostics/serving/auto-detection work without special cases.
+* ``quantize``/``remat`` thread through the body exactly like the other
+  post-upsampling nets: dynamic-int8 or QAT body convs, full-precision
+  head/tail, per-block rematerialization.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import Conv, UpsampleBlock, scale_stages
+
+
+def _lrelu(x):
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+class ResidualDenseBlock(nn.Module):
+    """5-conv dense block: conv_k sees [x, c1..c_{k-1}] on the channel axis;
+    convs 1-4 emit ``growth`` channels through LeakyReLU(0.2), conv5 projects
+    back to ``channels``; residual scaled by ``res_scale`` (ESRGAN's 0.2)."""
+
+    channels: int
+    growth: int = 32
+    res_scale: float = 0.2
+    dtype: Any = None
+    quantize: str = ""
+
+    @nn.compact
+    def __call__(self, x):
+        feats = [x]
+        for i in range(4):
+            c = Conv(self.growth, 3, dtype=self.dtype, quantize=self.quantize,
+                     name=f"conv{i + 1}")(jnp.concatenate(feats, axis=-1))
+            feats.append(_lrelu(c))
+        out = Conv(self.channels, 3, dtype=self.dtype, quantize=self.quantize,
+                   name="conv5")(jnp.concatenate(feats, axis=-1))
+        return x + out * jnp.asarray(self.res_scale, out.dtype)
+
+
+class RRDB(nn.Module):
+    """Residual-in-residual: three dense blocks, outer residual scaled 0.2."""
+
+    channels: int
+    growth: int = 32
+    res_scale: float = 0.2
+    dtype: Any = None
+    quantize: str = ""
+
+    @nn.compact
+    def __call__(self, x):
+        r = x
+        for i in range(3):
+            r = ResidualDenseBlock(
+                self.channels, self.growth, self.res_scale,
+                dtype=self.dtype, quantize=self.quantize,
+                name=f"dense{i + 1}",
+            )(r)
+        return x + r * jnp.asarray(self.res_scale, r.dtype)
+
+
+class RRDBNet(nn.Module):
+    """conv3 head (no activation, ESRGAN-style) -> N RRDBs -> conv3 ->
+    global skip -> PixelShuffle tail -> conv9 ``output_conv``.
+
+    Canonical size (registry name ``RRDB``): 64 channels, growth 32,
+    23 blocks — 16,896,453 params, the published ESRGAN generator scale
+    (the small delta vs the original's 16.70M is the tail: this framework's
+    ICNR PixelShuffle stages + k=9 ``output_conv`` instead of ESRGAN's
+    nearest-upsample convs + k=3 HR convs).
+    """
+
+    scale_factor: int = 4
+    num_channels: int = 64
+    growth: int = 32
+    num_blocks: int = 23
+    dtype: Any = None
+    remat: bool = False
+    quantize: str = ""
+    phase_tail: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        initial = Conv(self.num_channels, 3, dtype=self.dtype,
+                       name="input_conv")(x)
+        block_cls = nn.remat(RRDB) if self.remat else RRDB
+        r = initial
+        for i in range(self.num_blocks):
+            r = block_cls(self.num_channels, self.growth, dtype=self.dtype,
+                          quantize=self.quantize, name=f"rrdb_{i}")(r)
+        r = Conv(self.num_channels, 3, dtype=self.dtype,
+                 quantize=self.quantize, name="mid_conv")(r)
+        x = initial + r
+        stages = scale_stages(self.scale_factor)
+        if self.phase_tail:
+            from ..ops.subpixel_conv import grouped_out_map
+
+            r_acc, in_map = 1, None
+            for i, s in enumerate(stages):
+                x = UpsampleBlock(out_channels=64, scale=s, dtype=self.dtype,
+                                  phase_in=r_acc, phase_in_map=in_map,
+                                  name=f"up_{i}")(x)
+                in_map = (grouped_out_map(64 * s * s, r_acc, s=s)
+                          if r_acc > 1 else None)
+                r_acc *= s
+            return Conv(3, 9, dtype=self.dtype,
+                        subpixel_r=self.scale_factor, phase_in=r_acc,
+                        phase_in_map=in_map, name="output_conv")(x)
+        for i, s in enumerate(stages):
+            x = UpsampleBlock(out_channels=64, scale=s, dtype=self.dtype,
+                              name=f"up_{i}")(x)
+        return Conv(3, 9, dtype=self.dtype, subpixel_r=self.scale_factor,
+                    name="output_conv")(x)

@@ -51,4 +51,5 @@ FIRST_LAST = {
     "SRCNN": ("conv1", "conv3"),
     "RESNET": ("input_conv", "output_conv"),
     "AttentionSR": ("input_conv", "output_conv"),
+    "RRDB": ("input_conv", "output_conv"),
 }

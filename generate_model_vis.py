@@ -27,6 +27,7 @@ def visualize_all_models(out_root="runs/all_models_viz", optimized=True):
         ("SRCNN", get_model("SRCNN"), (1, 50, 50, 3)),
         ("ResNetSR", get_model("RESNET"), (1, 50, 50, 3)),
         ("AttentionSR", get_model("AttentionSR"), (1, 50, 50, 3)),
+        ("RRDB", get_model("RRDB"), (1, 50, 50, 3)),
         ("Discriminator", Discriminator(), (1, 200, 200, 3)),
     ]
     for name, model, shape in configs:

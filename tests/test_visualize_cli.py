@@ -58,7 +58,8 @@ def test_generate_model_vis_dumps(tmp_path):
     import generate_model_vis
 
     generate_model_vis.visualize_all_models(str(tmp_path), optimized=False)
-    for name in ("SRCNN", "ResNetSR", "AttentionSR", "Discriminator"):
+    for name in ("SRCNN", "ResNetSR", "AttentionSR", "RRDB",
+                 "Discriminator"):
         d = tmp_path / name
         assert (d / "jaxpr.txt").stat().st_size > 0
         hlo = (d / "hlo_unoptimized.txt").read_text()

@@ -157,6 +157,11 @@ def export_state_dict(tree: dict, arch: str | None = None) -> tuple[dict, str]:
     """{"params", "extra"} -> (reference state_dict, arch)."""
     params, extra = tree["params"], tree.get("extra", {})
     arch = arch or detect_arch(params)
+    if arch not in EXPORTERS:
+        raise ValueError(
+            f"{arch} has no reference counterpart to export to — the .pth "
+            "migration targets the reference project's four architectures "
+            "(reference src/models.py:219-227)")
     return EXPORTERS[arch](params, extra), arch
 
 
