@@ -128,7 +128,12 @@ def model_for_params(params, scale_factor: int = 4, dtype: Any = None,
     for i in range(n_up):
         cout = params[f"up_{i}"]["conv"]["conv"]["kernel"].shape[-1]
         s = round((cout / 64) ** 0.5)
-        assert cout == 64 * s * s, f"up_{i}: unexpected kernel cout {cout}"
+        if cout != 64 * s * s:
+            # not an assert: under ``python -O`` an assert would vanish and a
+            # malformed checkpoint would silently yield the wrong scale
+            raise ValueError(
+                f"up_{i}: kernel cout {cout} is not 64*s^2 for any integer "
+                f"s — malformed or unsupported upsample-stage checkpoint")
         scale *= s
     nf = params["input_conv"]["conv"]["kernel"].shape[-1]
     if arch == "RRDB":

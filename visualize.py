@@ -44,6 +44,8 @@ WEIGHTS = {
     "RESNET": "weights/resnet_run_best",
     "AttentionSR": "weights/attentionsr_run_best",
     "AttentionSR_GAN": "weights/attentionsr_gan_best",
+    # beyond-parity family (no reference counterpart): ESRGAN-scale RRDB
+    "RRDB": "weights/winner_rrdb_best",
 }
 
 
@@ -67,7 +69,9 @@ class ModelRunner:
                  quantize: str = ""):
         arch = "AttentionSR" if "AttentionSR" in display_name else display_name
         self.name = display_name
-        q = quantize if arch in ("RESNET", "AttentionSR") else ""
+        # quantize applies to every arch with a body stack (registry
+        # rejects it for SRCNN, whose 3 HR convs are all quality-critical)
+        q = quantize if arch in ("RESNET", "AttentionSR", "RRDB") else ""
         self.model = get_model(arch, scale_factor=SCALE_FACTOR, quantize=q)
         dummy = jnp.zeros((1, 16, 16, 3), jnp.float32)
         variables = self.model.init({"params": jax.random.PRNGKey(0)}, dummy,
@@ -249,8 +253,8 @@ if __name__ == "__main__":
                         "architecture is inferred from NAME as in the "
                         "default table")
     p.add_argument("--quantize", default="", choices=["", "int8", "int8_dot"],
-                   help="dynamic-int8 body convs for the RESNET/AttentionSR "
-                        "rows (SRCNN has no body; its rows stay f32) — "
+                   help="dynamic-int8 body convs for the RESNET/AttentionSR/"
+                        "RRDB rows (SRCNN has no body; its rows stay f32) — "
                         "report quality/latency of the quantized serving "
                         "path (DESIGN.md)")
     a = p.parse_args()
