@@ -4,14 +4,24 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
-* value      — our Flax AttentionSR jitted in bfloat16 on the available
-               accelerator (one TPU chip under the driver), batch 64 of
+* value      — our Flax model jitted in bfloat16 on the available
+               accelerator (one TPU chip under the driver), batch 256 of
                50x50 LR -> 200x200 HR (the reference's training geometry,
-               reference train.py:27 / src/dataset.py:36-39).
+               reference train.py:27 / src/dataset.py:36-39). Default
+               architecture is the reference flagship AttentionSR;
+               ``--architecture RRDB`` (or SRCNN/RESNET) benches the other
+               registry families with per-arch metric names.
 * vs_baseline— ratio vs. the reference stack: the same architecture
                (reference src/models.py:146-189,225) built in PyTorch and
                timed on this host's best torch device (cuda|mps|cpu —
                the reference's own device pick, reference train.py:24).
+               The denominator is PINNED to the committed, dated
+               measurement in ``runs/bench_baseline.json`` (the live
+               re-measure on this noisy 1-core host swung 2.40->3.15
+               img/s between rounds with no change in our perf);
+               ``--remeasure_baseline`` re-times torch and REWRITES the
+               committed file — that is the only path that moves the
+               denominator.
 
 Run directly: ``python bench.py``. Extra diagnostics go to stderr; stdout
 carries exactly the one JSON line the driver records.
@@ -57,10 +67,39 @@ TRAIN_BATCH = 128  # batch sweep on v5e: 64 -> 664 img/s, 128 -> 985,
 #                    256 -> 900 (VMEM pressure past 128); 128 is the knee
 GAN_BATCH, GAN_CROP = 32, 192
 
-# Fallback if torch is unavailable on the bench host: torch-CPU throughput
-# of the reference AttentionSR on this image (measured 2026-08-16 on the
-# 1-core driver host, batch 4, eval mode, fp32 — BENCH_r01.json).
+# Last-resort denominator if runs/bench_baseline.json is unreadable:
+# torch-CPU throughput of the reference AttentionSR on this image
+# (measured 2026-08-16 on the 1-core driver host, batch 4, eval, fp32).
 FALLBACK_BASELINE_IPS = 2.40
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "runs", "bench_baseline.json")
+
+
+def pinned_baseline(arch: str) -> float | None:
+    """Committed torch-CPU img/s for ``arch``; None if never measured."""
+    try:
+        with open(BASELINE_FILE) as f:
+            entry = json.load(f)["baselines"].get(arch)
+        return float(entry["ips"]) if entry else None
+    except (OSError, ValueError, KeyError, TypeError):
+        return FALLBACK_BASELINE_IPS if arch == "AttentionSR" else None
+
+
+def record_baseline(arch: str, ips: float):
+    """--remeasure_baseline: rewrite the committed denominator for ``arch``."""
+    try:
+        with open(BASELINE_FILE) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        doc = {"baselines": {}}
+    doc.setdefault("baselines", {})[arch] = {
+        "ips": round(ips, 2),
+        "measured": time.strftime("%Y-%m-%d"),
+        "source": "bench.py --remeasure_baseline",
+    }
+    with open(BASELINE_FILE, "w") as f:
+        json.dump(doc, f, indent=2)
+    log(f"baseline file updated: {arch} -> {ips:.2f} img/s")
 
 WALL_BUDGET_S = float(os.environ.get("FOOD101_BENCH_BUDGET_S", "480"))
 PROBE_TIMEOUT_S = 120.0
@@ -89,14 +128,27 @@ def apply_cpu_scale():
     GAN_BATCH, GAN_CROP = 1, 64
 
 
+def parse_arch(argv) -> str:
+    """--architecture NAME (default: the reference flagship AttentionSR)."""
+    if "--architecture" in argv:
+        i = argv.index("--architecture")
+        nxt = argv[i + 1] if i + 1 < len(argv) else ""
+        if nxt in ("SRCNN", "RESNET", "AttentionSR", "RRDB"):
+            return nxt
+        sys.exit(f"unknown --architecture {nxt!r} "
+                 "(SRCNN|RESNET|AttentionSR|RRDB)")
+    return "AttentionSR"
+
+
 def parse_mode(argv):
-    """(mode, quantize) from CLI args; shared by supervisor and child."""
+    """(mode, quantize, arch) from CLI args; shared by supervisor and child."""
+    arch = parse_arch(argv)
     if "--input" in argv:
-        return "input", ""
+        return "input", "", arch
     if "--gan" in argv:
-        return "gan", ""
+        return "gan", "", arch
     if "--train" in argv:
-        return "train", ""
+        return "train", "", arch
     quantize = ""
     if "--quantize_dot" in argv:
         quantize = "int8_dot"
@@ -112,18 +164,19 @@ def parse_mode(argv):
             sys.exit(f"unknown --quantize mode {nxt!r} (int8|int8_dot)")
         else:
             quantize = "int8"
-    return "infer", quantize
+    return "infer", quantize, arch
 
 
-def metric_name(mode: str, quantize: str) -> tuple[str, str]:
+def metric_name(mode: str, quantize: str, arch: str) -> tuple[str, str]:
     """(metric, unit) for a mode — also used for the last-resort line."""
     if mode == "input":
         return "input_pipeline_host_throughput", "images/sec/core"
+    a = arch.lower()
     if mode == "gan":
-        return "attentionsr_x4_gan_train_throughput", "images/sec/chip"
+        return f"{a}_x4_gan_train_throughput", "images/sec/chip"
     if mode == "train":
-        return "attentionsr_x4_train_throughput", "images/sec/chip"
-    m = "attentionsr_x4_inference_throughput"
+        return f"{a}_x4_train_throughput", "images/sec/chip"
+    m = f"{a}_x4_inference_throughput"
     if quantize:
         m += f"_{quantize}"
     return m, "images/sec/chip"
@@ -214,7 +267,7 @@ def _run_child(platform: str, timeout: float) -> dict | None:
 
 def supervise():
     deadline = time.monotonic() + WALL_BUDGET_S
-    mode, quantize = parse_mode(sys.argv)
+    mode, quantize, arch = parse_mode(sys.argv)
 
     if mode == "input":
         # host-only pipeline: no device, no probe; give it the full budget
@@ -232,7 +285,7 @@ def supervise():
             result = _run_child("cpu", deadline - time.monotonic() - 5)
 
     if result is None:
-        metric, unit = metric_name(mode, quantize)
+        metric, unit = metric_name(mode, quantize, arch)
         result = {"metric": metric, "value": 0.0, "unit": unit,
                   "vs_baseline": 0.0, "platform": "timeout-fallback"}
         log("all measurement attempts failed; emitting tagged zero line")
@@ -243,7 +296,8 @@ def supervise():
 # child — the actual measurement, on a platform the supervisor picked
 # --------------------------------------------------------------------------
 
-def bench_tpu(quantize: str = "", phase_tail: bool = True) -> float:
+def bench_tpu(quantize: str = "", phase_tail: bool = True,
+              arch: str = "AttentionSR") -> float:
     """Overhead-cancelled device timing.
 
     The remote-TPU tunnel used by the driver acks dispatches before they
@@ -265,9 +319,12 @@ def bench_tpu(quantize: str = "", phase_tail: bool = True) -> float:
 
     # phase_tail=True matches the production serving path (serve.py
     # default): the upsample tail fused in pixel-shuffle phase space —
-    # exact same math/params, measured +26% on v5e (DESIGN.md §2)
-    model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16,
-                      quantize=quantize, phase_tail=phase_tail)
+    # exact same math/params, measured +26% on v5e (DESIGN.md §2).
+    # SRCNN pre-upsamples (no tail/body): both flags are no-ops there and
+    # quantize is rejected by the registry, so strip them.
+    kw = ({} if arch == "SRCNN"
+          else dict(quantize=quantize, phase_tail=phase_tail))
+    model = get_model(arch, scale_factor=SCALE, dtype=jnp.bfloat16, **kw)
     variables = model.init(
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, LR_SIZE, LR_SIZE, 3), jnp.float32),
@@ -306,19 +363,75 @@ def bench_tpu(quantize: str = "", phase_tail: bool = True) -> float:
     return ips
 
 
-def bench_torch_reference() -> float | None:
-    """Reference AttentionSR in PyTorch on the reference's device pick.
+def bench_torch_reference(arch: str = "AttentionSR") -> float | None:
+    """The benched architecture in PyTorch on the reference's device pick
+    (only runs under ``--remeasure_baseline``; the recorded number in
+    runs/bench_baseline.json is the default denominator).
 
-    Architecture re-stated from the survey of reference src/models.py:
+    AttentionSR re-stated from the survey of reference src/models.py:
     conv9(3->96)+PReLU -> 32 x [conv3+PReLU+conv3+SE(r=16), x0.1 + id]
     -> conv3 -> global skip -> 2 x [conv3(->256)+PixelShuffle(2)+PReLU]
-    -> conv9(64->3).
+    -> conv9(64->3). RRDB is a torch mirror of our models/rrdb.py (the
+    reference has no RRDB; the baseline is the same net on the torch
+    stack, so the ratio isolates the framework+hardware, not the model).
     """
     try:
         import torch
         import torch.nn as nn
     except Exception as e:  # pragma: no cover
         log(f"torch unavailable ({e}); using fallback baseline")
+        return None
+
+    if arch == "RRDB":
+        class DenseBlock(nn.Module):
+            def __init__(self, c=64, g=32):
+                super().__init__()
+                self.convs = nn.ModuleList(
+                    [nn.Conv2d(c + i * g, g, 3, padding=1) for i in range(4)]
+                    + [nn.Conv2d(c + 4 * g, c, 3, padding=1)])
+                self.act = nn.LeakyReLU(0.2)
+
+            def forward(self, x):
+                feats = [x]
+                for conv in self.convs[:-1]:
+                    feats.append(self.act(conv(torch.cat(feats, 1))))
+                return x + 0.2 * self.convs[-1](torch.cat(feats, 1))
+
+        class TorchRRDB(nn.Module):
+            def __init__(self, c=64):
+                super().__init__()
+                self.blocks = nn.ModuleList(
+                    [DenseBlock(c) for _ in range(3)])
+
+            def forward(self, x):
+                r = x
+                for b in self.blocks:
+                    r = b(r)
+                return x + 0.2 * r
+
+        class TorchRRDBNet(nn.Module):
+            def __init__(self, c=64, n=23):
+                super().__init__()
+                self.head = nn.Conv2d(3, c, 3, padding=1)
+                self.body = nn.Sequential(*[TorchRRDB(c) for _ in range(n)])
+                self.mid = nn.Conv2d(c, c, 3, padding=1)
+                up = []
+                in_c = c
+                for _ in range(SCALE // 2):
+                    up += [nn.Conv2d(in_c, 256, 3, padding=1),
+                           nn.PixelShuffle(2), nn.PReLU()]
+                    in_c = 64
+                self.up = nn.Sequential(*up)
+                self.tail = nn.Conv2d(64, 3, 9, padding=4)
+
+            def forward(self, x):
+                h = self.head(x)
+                h = h + self.mid(self.body(h))
+                return self.tail(self.up(h))
+
+        return _time_torch(TorchRRDBNet(), arch)
+    if arch != "AttentionSR":
+        log(f"no torch mirror for {arch}; vs_baseline stays unpinned")
         return None
 
     ch, blocks = 96, 32
@@ -365,6 +478,13 @@ def bench_torch_reference() -> float | None:
             h = h + self.mid(self.body(h))
             return self.tail(self.up(h))
 
+    return _time_torch(RefAttentionSR(), arch)
+
+
+def _time_torch(model, arch: str) -> float:
+    """Shared torch timing leg: reference device pick, min-of-repeats."""
+    import torch
+
     if torch.cuda.is_available():
         device = "cuda"
     elif getattr(torch.backends, "mps", None) and torch.backends.mps.is_available():
@@ -373,7 +493,7 @@ def bench_torch_reference() -> float | None:
         device = "cpu"
     log(f"torch baseline device: {device}")
 
-    model = RefAttentionSR().to(device).eval()
+    model = model.to(device).eval()
     b = 4
     x = torch.rand(b, 3, LR_SIZE, LR_SIZE, device=device)
     n_iters = 3 if device == "cpu" else 10
@@ -393,12 +513,12 @@ def bench_torch_reference() -> float | None:
                 torch.cuda.synchronize()
             best = min(best, time.perf_counter() - t0)
     ips = n_iters * b / best
-    log(f"reference (torch/{device}): {ips:.2f} images/sec")
+    log(f"reference torch {arch} ({device}): {ips:.2f} images/sec")
     return ips
 
 
-def bench_train_step(batch: int) -> float:
-    """Supervised train-step throughput (AttentionSR + NLPD + Adam +
+def bench_train_step(batch: int, arch: str = "AttentionSR") -> float:
+    """Supervised train-step throughput (model + NLPD + Adam +
     in-graph diagnostics + on-device uint8 degradation) — the full hot
     path of ``train.py``. Same honest-timing scheme as bench_tpu."""
     import jax
@@ -411,8 +531,8 @@ def bench_train_step(batch: int) -> float:
 
     # phase_tail matches train.py's default (fused phase-space tail,
     # measured +8.5% — torch-parity-tested with this tail on our side)
-    model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16,
-                      phase_tail=True)
+    kw = {} if arch == "SRCNN" else dict(phase_tail=True)
+    model = get_model(arch, scale_factor=SCALE, dtype=jnp.bfloat16, **kw)
     variables = model.init(
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, LR_SIZE, LR_SIZE, 3), jnp.float32),
@@ -451,7 +571,7 @@ def bench_train_step(batch: int) -> float:
     return ips
 
 
-def bench_gan_step(batch: int, crop: int) -> float:
+def bench_gan_step(batch: int, crop: int, arch: str = "AttentionSR") -> float:
     """GAN trainer throughput: composite G step every batch + D step every
     5th (the reference cadence, train.py:87) — reported as effective
     images/sec."""
@@ -465,7 +585,7 @@ def bench_gan_step(batch: int, crop: int) -> float:
                                          make_gan_d_step, make_gan_g_step)
 
     # generator tail fused in phase space, like train.py's default
-    g_model = get_model("AttentionSR", scale_factor=SCALE, dtype=jnp.bfloat16,
+    g_model = get_model(arch, scale_factor=SCALE, dtype=jnp.bfloat16,
                         phase_tail=True)
     g_vars = g_model.init({"params": jax.random.PRNGKey(0)},
                           jnp.zeros((1, crop // SCALE, crop // SCALE, 3),
@@ -573,7 +693,7 @@ def bench_input_pipeline(n_images: int = 8, batches: int = 24,
 
 
 def child_main():
-    mode, quantize = parse_mode(sys.argv)
+    mode, quantize, arch = parse_mode(sys.argv)
     platform = os.environ.get("FOOD101_BENCH_PLATFORM", "")
     cpu = platform == "cpu"
     if cpu or mode == "input":
@@ -591,55 +711,58 @@ def child_main():
         log(f"cpu-scale workload: batch {BATCH}, n {N_SHORT}/{N_LONG}, "
             f"repeats {REPEATS}")
 
-    metric, unit = metric_name(mode, quantize)
+    metric, unit = metric_name(mode, quantize, arch)
     if mode == "input":
         ours, pil = bench_input_pipeline()
         line = {"metric": metric, "value": round(ours, 1), "unit": unit,
                 "vs_baseline": round(ours / pil, 2)}
     elif mode == "gan":
         line = {"metric": metric, "value": round(bench_gan_step(
-            GAN_BATCH, GAN_CROP), 1), "unit": unit, "vs_baseline": None}
+            GAN_BATCH, GAN_CROP, arch), 1), "unit": unit, "vs_baseline": None}
     elif mode == "train":
         # extra mode (not the driver's headline): full train-step
         # throughput; no torch-side NLPD train baseline, so no vs_baseline.
+        # RRDB trains at half the batch: 3x the body activations of
+        # AttentionSR at the same LR geometry.
+        tb = TRAIN_BATCH // 2 if (arch == "RRDB" and not cpu) else TRAIN_BATCH
         line = {"metric": metric, "value": round(bench_train_step(
-            TRAIN_BATCH), 1), "unit": unit, "vs_baseline": None}
+            tb, arch), 1), "unit": unit, "vs_baseline": None}
     else:
+        # the denominator is the committed, dated measurement — the live
+        # torch leg only runs under --remeasure_baseline, which rewrites
+        # the committed file (VERDICT r3: the re-measured denominator on
+        # this noisy host swung 31% round-to-round with no change in our
+        # perf, moving the recorded headline ratio for nothing)
+        baseline = pinned_baseline(arch)
         if cpu:
-            ours = bench_tpu(quantize)
-            baseline = FALLBACK_BASELINE_IPS  # torch re-measure wastes the
-            # tiny CPU budget; the recorded same-host number is the baseline
+            ours = bench_tpu(quantize, arch=arch)
         else:
             # Chip work FIRST. Through a cold tunnel, backend init + the
             # first compile dominate the child's budget (observed >300 s on
-            # a wiped /tmp/jax_cache with a slow tunnel) — every second
-            # spent on the torch baseline before them is a second the
-            # salvage path can't use. Tiered provisional lines, each
-            # overwriting the previous one in the supervisor's salvage:
-            #   1. standard-tail measurement (fastest-compiling program)
-            #      with the recorded same-host fallback baseline ratio;
-            #   2. same measurement re-stated against the freshly measured
-            #      torch baseline;
-            #   3. the production phase-tail program (faster to RUN, +26%
+            # a wiped /tmp/jax_cache with a slow tunnel). Tiered
+            # provisional lines, each overwriting the previous one in the
+            # supervisor's salvage:
+            #   1. standard-tail measurement (fastest-compiling program);
+            #   2. the production phase-tail program (faster to RUN, +26%
             #      measured, but slow to COMPILE cold: 100-230 s observed).
-            std = bench_tpu(quantize, phase_tail=False)
-            print(json.dumps({
-                "metric": metric, "value": round(std, 1), "unit": unit,
-                "vs_baseline": round(std / FALLBACK_BASELINE_IPS, 2),
-                "tail": "standard",
-                "baseline": "recorded-fallback"}), flush=True)
-            baseline = bench_torch_reference()
-            if baseline is None:
-                baseline = FALLBACK_BASELINE_IPS
-            print(json.dumps({
-                "metric": metric, "value": round(std, 1), "unit": unit,
-                "vs_baseline": (round(std / baseline, 2)
-                                if baseline else None),
-                "tail": "standard"}), flush=True)
-            ours = bench_tpu(quantize, phase_tail=True)
+            # SRCNN has no tail; one program, one line.
+            if "--remeasure_baseline" in sys.argv:
+                baseline = bench_torch_reference(arch)
+                if baseline is not None:
+                    record_baseline(arch, baseline)
+            if arch == "SRCNN":
+                ours = bench_tpu(quantize, arch=arch)
+            else:
+                std = bench_tpu(quantize, phase_tail=False, arch=arch)
+                print(json.dumps({
+                    "metric": metric, "value": round(std, 1), "unit": unit,
+                    "vs_baseline": (round(std / baseline, 2)
+                                    if baseline else None),
+                    "tail": "standard"}), flush=True)
+                ours = bench_tpu(quantize, phase_tail=True, arch=arch)
         line = {"metric": metric, "value": round(ours, 1), "unit": unit,
                 "vs_baseline": round(ours / baseline, 2) if baseline else None}
-        if not cpu:
+        if not cpu and arch != "SRCNN":
             line["tail"] = "phase"
     if cpu and mode != "input":
         # never let a CPU number masquerade as a chip measurement in the
