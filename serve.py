@@ -375,13 +375,18 @@ def make_handler(server, default: str | None = None):
                 # under HTTP/1.1 keep-alive the unread bytes would desync
                 # the next request on this connection — close it instead
                 self.close_connection = True
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(body)))
-            if self.close_connection:
-                self.send_header("Connection", "close")
-            self.end_headers()
-            self.wfile.write(body)
+            try:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                if self.close_connection:
+                    self.send_header("Connection", "close")
+                self.end_headers()
+                self.wfile.write(body)
+            except OSError:
+                # peer closed mid-response (common right after it sent a
+                # malformed request): nothing to tell it, nothing to crash
+                self.close_connection = True
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -448,12 +453,32 @@ def make_handler(server, default: str | None = None):
                 self._send(404, ("unknown model; available: "
                                  + ", ".join(servers)).encode(), "text/plain")
                 return
-            length = int(self.headers.get("Content-Length", 0))
-            if length == 0 or length > 64 << 20:
-                self._send(413 if length else 400,
-                           b"image body required (<=64MB)", "text/plain")
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._send(400, b"Content-Length must be an integer",
+                           "text/plain")
                 return
-            data = self.rfile.read(length)
+            # <=0 must 400 BEFORE the read: a negative length would make
+            # rfile.read() read to EOF, pinning this handler thread on an
+            # open connection until the idle timeout
+            if length <= 0:
+                self._send(400, b"image body required (<=64MB)", "text/plain")
+                return
+            if length > 64 << 20:
+                self._send(413, b"image body required (<=64MB)", "text/plain")
+                return
+            try:
+                data = self.rfile.read(length)
+            except OSError:
+                self.close_connection = True  # peer vanished mid-body
+                return
+            if len(data) < length:
+                # client promised more bytes than it sent (lying header or
+                # death mid-upload): the connection is desynced — reject
+                # and close rather than decode a half image
+                self._send(400, b"truncated body", "text/plain")
+                return
             try:
                 img = Image.open(io.BytesIO(data))
                 img.load()

@@ -2,6 +2,7 @@
 socket, plus one real HTTP round-trip against a live server."""
 import io
 import threading
+import time
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -408,3 +409,155 @@ def test_multi_model_routing(server):
         assert set(st) == {"fast", "best"}
     finally:
         httpd.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Malformed-input fuzzing + graceful drain (VERDICT r3 weak #6): the error
+# paths exist; these tests actually feed them the traffic they were written
+# for — through raw sockets, because urllib cannot send lies.
+# ---------------------------------------------------------------------------
+
+def _raw_request(port, payload: bytes, recv_timeout=10.0) -> bytes:
+    """Send raw bytes, half-close the send side, read the full response."""
+    import socket
+
+    with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+        s.sendall(payload)
+        s.shutdown(socket.SHUT_WR)
+        s.settimeout(recv_timeout)
+        chunks = []
+        try:
+            while True:
+                b = s.recv(65536)
+                if not b:
+                    break
+                chunks.append(b)
+        except OSError:
+            pass
+        return b"".join(chunks)
+
+
+@pytest.fixture()
+def live_server(server):
+    import serve
+
+    httpd = serve.SRHTTPServer(("127.0.0.1", 0), serve.make_handler(server))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield httpd, port
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def _post_ok(port):
+    """A normal request succeeds — the server survived whatever came before."""
+    buf = io.BytesIO()
+    _img(16, 16, seed=77).save(buf, format="PNG")
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/sr",
+                                 data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert Image.open(io.BytesIO(r.read())).size == (64, 64)
+
+
+def test_oversized_content_length_413(live_server):
+    _, port = live_server
+    # header lies about a 100MB body that is never sent: must 413 from the
+    # header alone, without waiting for bytes
+    resp = _raw_request(
+        port,
+        b"POST /sr HTTP/1.1\r\nHost: x\r\nContent-Length: 104857600\r\n\r\n")
+    assert resp.startswith(b"HTTP/1.1 413"), resp[:200]
+    _post_ok(port)
+
+
+def test_negative_content_length_400(live_server):
+    _, port = live_server
+    # a negative length must NOT reach rfile.read() (read(-1) would pin the
+    # handler thread reading to EOF on a held-open connection)
+    resp = _raw_request(
+        port, b"POST /sr HTTP/1.1\r\nHost: x\r\nContent-Length: -5\r\n\r\n")
+    assert resp.startswith(b"HTTP/1.1 400"), resp[:200]
+    _post_ok(port)
+
+
+def test_non_numeric_content_length_400(live_server):
+    _, port = live_server
+    resp = _raw_request(
+        port, b"POST /sr HTTP/1.1\r\nHost: x\r\nContent-Length: banana\r\n\r\n")
+    assert resp.startswith(b"HTTP/1.1 400"), resp[:200]
+    _post_ok(port)
+
+
+def test_truncated_body_400(live_server):
+    _, port = live_server
+    # promises 5000 bytes, delivers 10, then half-closes: the server must
+    # detect the short read and reject rather than decode a half image
+    resp = _raw_request(
+        port,
+        b"POST /sr HTTP/1.1\r\nHost: x\r\nContent-Length: 5000\r\n\r\n"
+        b"0123456789")
+    assert resp.startswith(b"HTTP/1.1 400"), resp[:200]
+    assert b"truncated" in resp
+    _post_ok(port)
+
+
+def test_garbage_request_line_survived(live_server):
+    _, port = live_server
+    resp = _raw_request(port, b"\x00\xff GARBAGE\r\n\r\n")
+    # http.server answers 400 (or just closes); either way the server lives
+    assert resp == b"" or b"400" in resp.split(b"\r\n", 1)[0], resp[:200]
+    _post_ok(port)
+
+
+def test_non_image_payload_400_raw(live_server):
+    _, port = live_server
+    body = b"this is not an image at all, not even close"
+    resp = _raw_request(
+        port,
+        b"POST /sr HTTP/1.1\r\nHost: x\r\nContent-Length: "
+        + str(len(body)).encode() + b"\r\n\r\n" + body)
+    assert resp.startswith(b"HTTP/1.1 400"), resp[:200]
+    assert b"could not decode" in resp
+    _post_ok(port)
+
+
+def test_shutdown_drains_in_flight_requests(server):
+    """The graceful-shutdown contract (serve.py main's SIGTERM handler is
+    exactly `threading.Thread(target=httpd.shutdown)`): a request already
+    being handled when shutdown starts must complete with a full 200
+    response, not die mid-flight."""
+    import serve
+
+    httpd = serve.SRHTTPServer(("127.0.0.1", 0), serve.make_handler(server))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever)
+    t.start()
+
+    # a large image takes the tiled path -> many device batches -> slow
+    # enough on this host that shutdown lands mid-request
+    buf = io.BytesIO()
+    _img(200, 150, seed=88).save(buf, format="PNG")
+    results = {}
+
+    def slow_request():
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/sr",
+                                     data=buf.getvalue(), method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results["img"] = Image.open(io.BytesIO(r.read()))
+        except Exception as e:  # pragma: no cover - the failure under test
+            results["err"] = e
+
+    rt = threading.Thread(target=slow_request)
+    rt.start()
+    time.sleep(0.5)  # let the request reach the handler
+    httpd.shutdown()  # what SIGTERM does in serve.py main
+    httpd.server_close()  # joins handler threads (block_on_close)
+    rt.join(timeout=120)
+    t.join(timeout=30)
+    assert not rt.is_alive() and not t.is_alive()
+    assert "err" not in results, results.get("err")
+    assert results["img"].size == (800, 600)
