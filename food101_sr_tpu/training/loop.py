@@ -482,7 +482,12 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
             updates_done += 1
             if preempt_after and updates_done >= preempt_after:
                 guard.request()
-            if guard.poll(logical_idx):
+            # poll with the CUMULATIVE update count (0-based), not the
+            # epoch-relative logical_idx: the multi-process OR-agree fires
+            # every sync_every updates, and an epoch shorter than the
+            # cadence would never reach an agreement boundary if the
+            # counter reset each epoch (one host requested, nobody stopped)
+            if guard.poll(updates_done - 1):
                 preempted = True
                 break
         if profiling:  # epoch shorter than the requested trace window

@@ -73,6 +73,12 @@ class PreemptionGuard:
         ``sync_every`` updates — a tiny host collective, amortized so it
         never serializes the async dispatch pipeline; all processes see
         the same verdict at the same update, keeping collectives aligned.
+
+        ``update_idx`` must be a 0-based counter that is identical on all
+        processes AND monotone across the whole run (the loop passes the
+        cumulative update count, not the epoch-relative batch index —
+        an epoch shorter than ``sync_every`` would otherwise never reach
+        an agreement boundary; tests/test_multihost.py drills this).
         """
         if jax.process_count() == 1:
             return self.requested
