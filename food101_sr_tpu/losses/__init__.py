@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .nlpd import laplacian_pyramid, nlpd_loss
+from .nlpd import laplacian_pyramid, nlpd_loss, nlpd_loss_train
 from .perceptual import PerceptualLoss
 from .tv import tv_loss
 
@@ -39,6 +39,7 @@ __all__ = [
     "mae_loss",
     "mse_loss",
     "nlpd_loss",
+    "nlpd_loss_train",
     "PerceptualLoss",
     "tv_loss",
 ]

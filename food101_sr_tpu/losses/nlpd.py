@@ -17,7 +17,8 @@ from ..ops.pallas_blur import depthwise_blur_fast
 from ..ops.resize import resize_bilinear_torch
 
 
-def laplacian_pyramid(img: jnp.ndarray, n_levels: int = 4):
+def laplacian_pyramid(img: jnp.ndarray, n_levels: int = 4,
+                      precision: str = "highest"):
     """List of per-level difference images (NHWC)."""
     pyramid = []
     current = img
@@ -26,7 +27,11 @@ def laplacian_pyramid(img: jnp.ndarray, n_levels: int = 4):
         # XLA conv elsewhere — numerics identical to ~3e-7.
         blurred = depthwise_blur_fast(current, size=5, sigma=1.0)
         down = blurred[:, ::2, ::2, :]
-        up = resize_bilinear_torch(down, current.shape[1], current.shape[2])
+        up = resize_bilinear_torch(down, current.shape[1], current.shape[2],
+                                   precision=precision,
+                                   compute_dtype=(jnp.float32
+                                                  if precision == "highest"
+                                                  else current.dtype))
         pyramid.append(current - up)
         current = down
     return pyramid
@@ -42,4 +47,37 @@ def nlpd_loss(
     pyr_p = laplacian_pyramid(pred, n_levels)
     pyr_t = laplacian_pyramid(target, n_levels)
     loss_nlpd = sum(jnp.mean(jnp.abs(p - t)) for p, t in zip(pyr_p, pyr_t))
+    return alpha * loss_mae + (1.0 - alpha) * loss_nlpd
+
+
+def nlpd_loss_train(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    n_levels: int = 4,
+    alpha: float = 0.7,
+) -> jnp.ndarray:
+    """Training-grade NLPD: the same pyramid with bf16 operands and
+    single-pass (default-precision) bilinear-upsample contractions.
+
+    The metric-grade path above pins HIGHEST precision because NLPD is a
+    *reported number* (CLAUDE.md: any measurement op pins highest — the
+    SSIM>1 class of bug). Inside the train step the loss only needs a
+    faithful gradient direction: the HIGHEST einsum costs 6 f32 passes
+    per pyramid upsample, per level, per image (pred AND target), forward
+    and backward — pure non-MXU tail (DESIGN.md §2 attribution). This is
+    the same precision split that bought the GAN path +24% (bf16 feature
+    nets for the loss, f32 for the LPIPS metric). Gradient parity vs the
+    metric-grade loss is pinned in tests/test_losses_metrics.py (cosine >
+    0.999 per-leaf through a full model); the A/B keep-or-reject record lives
+    in DESIGN.md §2. MAE term stays in input dtype (f32): it dominates
+    the loss (alpha=0.7) and costs one subtract.
+    """
+    loss_mae = jnp.mean(jnp.abs(pred - target))
+    p16 = pred.astype(jnp.bfloat16)
+    t16 = target.astype(jnp.bfloat16)
+    pyr_p = laplacian_pyramid(p16, n_levels, precision="default")
+    pyr_t = laplacian_pyramid(t16, n_levels, precision="default")
+    # accumulate the level means in f32 (means of bf16 tensors)
+    loss_nlpd = sum(jnp.mean(jnp.abs(p - t).astype(jnp.float32))
+                    for p, t in zip(pyr_p, pyr_t))
     return alpha * loss_mae + (1.0 - alpha) * loss_nlpd

@@ -117,27 +117,36 @@ def resize2d(
     kernel: str = "cubic",
     a: float = -0.75,
     antialias: bool = True,
+    precision: str = "highest",
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Resize NHWC (or HWC) images via two 1-D matmul contractions.
 
-    Computation runs in float32 (resampling weights can be negative for
-    cubic; bf16 accumulation would cost ~0.3 dB) and is cast back to the
-    input dtype.
+    By default computation runs in float32 at HIGHEST precision
+    (resampling weights can be negative for cubic; bf16 accumulation would
+    cost ~0.3 dB) and is cast back to the input dtype — every MEASUREMENT
+    path (dataset degradation, metrics, SRCNN pre-upsample) must keep
+    these defaults (CLAUDE.md numerics rules). ``precision``/
+    ``compute_dtype`` exist for training-grade loss internals only, where
+    the result feeds a batch-mean loss rather than a reported number
+    (see losses/nlpd.py ``nlpd_loss_train``).
     """
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
     n, h, w, c = x.shape
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x.astype(compute_dtype)
 
     if h != out_h:
-        mh = jnp.asarray(resample_matrix(h, out_h, kernel, a, antialias))
+        mh = jnp.asarray(resample_matrix(h, out_h, kernel, a, antialias),
+                         dtype=compute_dtype)
         # [N,H,W,C] x [OH,H] -> [N,OH,W,C]
-        xf = jnp.einsum("nhwc,oh->nowc", xf, mh, precision="highest")
+        xf = jnp.einsum("nhwc,oh->nowc", xf, mh, precision=precision)
     if w != out_w:
-        mw = jnp.asarray(resample_matrix(w, out_w, kernel, a, antialias))
-        xf = jnp.einsum("nhwc,ow->nhoc", xf, mw, precision="highest")
+        mw = jnp.asarray(resample_matrix(w, out_w, kernel, a, antialias),
+                         dtype=compute_dtype)
+        xf = jnp.einsum("nhwc,ow->nhoc", xf, mw, precision=precision)
 
     out = xf.astype(orig_dtype)
     return out[0] if squeeze else out
@@ -163,10 +172,12 @@ def resize_bicubic_pil(x, out_h, out_w):
     return resize2d(x, out_h, out_w, kernel="cubic", a=-0.5, antialias=True)
 
 
-def resize_bilinear_torch(x, out_h, out_w, antialias=False):
+def resize_bilinear_torch(x, out_h, out_w, antialias=False,
+                          precision="highest", compute_dtype=jnp.float32):
     """torch ``F.interpolate(mode='bilinear', align_corners=False)``; used in
     the NLPD Laplacian pyramid upsample (reference src/loss.py:63)."""
-    return resize2d(x, out_h, out_w, kernel="linear", antialias=antialias)
+    return resize2d(x, out_h, out_w, kernel="linear", antialias=antialias,
+                    precision=precision, compute_dtype=compute_dtype)
 
 
 def degrade_bicubic(hr: jnp.ndarray, scale: int) -> jnp.ndarray:
