@@ -49,7 +49,20 @@ RECEPTIVE_RADIUS = {
     "SRCNN": 8,          # bicubic support + conv9/conv1/conv5 at HR -> <=8 LR px
     "RESNET": 48,        # 4 + 16*2 + 1 + tail (~3) = 40, margin to 48
     "AttentionSR": 80,   # 4 + 32*2 + 1 + tail (~3) = 72, margin to 80
+    "RRDB": 40,          # EFFECTIVE radius — see receptive_radius docstring
 }
+
+# RRDBNet's effective halo (LR px). Its THEORETICAL radius is 15 px per
+# RRDB (3 dense blocks x 5 conv3) -> ~365 for the 23-block registry net,
+# which would inflate tiled compute ~44x at tile 128. But both residual
+# ladders scale by 0.2, so far-field contributions decay super-
+# geometrically. Measured on a v5e chip (tools/rrdb_erf.py, HIGHEST-
+# precision convs, 256px field, 3 seeds, runs/rrdb_erf.json, 2026-08-20):
+# a MAXIMAL center-pixel perturbation's response falls to 1.2e-2 of the
+# center response at r=8, 2.4e-4 at r=12, and 5e-6 at r=16 — below half a
+# uint8 step (1/510) relative to any response of plausible magnitude.
+# 40 is the measured crossing (r in [12,16]) with ~2.5x margin.
+RRDB_EFFECTIVE_RADIUS = 40
 
 
 def receptive_radius(arch: str, model=None) -> int:
@@ -59,10 +72,20 @@ def receptive_radius(arch: str, model=None) -> int:
     at LR scale + margin -> ``2*n + 16``, which reproduces the table for
     registry depths (16 -> 48, 32 -> 80) and stays exact for deeper
     non-registry checkpoints (e.g. ``--architecture auto``), where the
-    fixed table would silently under-halo and produce seam artifacts."""
+    fixed table would silently under-halo and produce seam artifacts.
+
+    RRDBNet (``model.growth`` present) returns ``min(15*num_blocks + 20,
+    RRDB_EFFECTIVE_RADIUS)``: exact for shallow nets, and the MEASURED
+    effective radius for deep ones — the 0.2 residual scaling attenuates
+    far-field terms below half a uint8 step long before the theoretical
+    radius (see RRDB_EFFECTIVE_RADIUS above; tests/test_spatial.py pins
+    the decay). RRDB tiling is therefore exact-to-output-quantization
+    rather than exact-to-float, which is the guarantee serving needs."""
     n_res = getattr(model, "num_residuals", None) if model is not None else None
     if n_res is not None:
         return 2 * int(n_res) + 16
+    if model is not None and getattr(model, "growth", None) is not None:
+        return min(15 * int(model.num_blocks) + 20, RRDB_EFFECTIVE_RADIUS)
     return RECEPTIVE_RADIUS.get(arch, 80)
 
 
