@@ -32,11 +32,32 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Conv, UpsampleBlock, scale_stages
+from .layers import Conv, UpsampleBlock, kaiming_normal, scale_stages
 
 
 def _lrelu(x):
     return nn.leaky_relu(x, negative_slope=0.2)
+
+
+def scaled_kaiming(scale: float = 0.1):
+    """Kaiming-normal scaled by ``scale`` — ESRGAN's published init for the
+    dense-block convs (MSRA x 0.1, Wang et al. §4: "smaller initialization
+    ... residual architecture is easier to train when the initial parameter
+    variance becomes smaller").
+
+    Measured necessity, not lore: with plain kaiming the 23-block net's
+    init-time output magnitude is ~90x the [0,1] input scale (the dense
+    ladders multiply variance through 345 convs even with 0.2 residual
+    scaling — chip measurement in runs/rrdb_erf.json), and a 40-epoch
+    L1 run stalled at val MAE 1.2 / PSNR 6.5 after 3 epochs just crawling
+    the output scale down. With the 0.1 scaling init-time outputs start
+    near zero + global skip, like ResNetSR/AttentionSR."""
+    base = kaiming_normal("fan_in")
+
+    def init(key, shape, dtype=jnp.float32):
+        return base(key, shape, dtype) * scale
+
+    return init
 
 
 class ResidualDenseBlock(nn.Module):
@@ -52,12 +73,15 @@ class ResidualDenseBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        ki = scaled_kaiming(0.1)
         feats = [x]
         for i in range(4):
             c = Conv(self.growth, 3, dtype=self.dtype, quantize=self.quantize,
+                     kernel_init=ki,
                      name=f"conv{i + 1}")(jnp.concatenate(feats, axis=-1))
             feats.append(_lrelu(c))
         out = Conv(self.channels, 3, dtype=self.dtype, quantize=self.quantize,
+                   kernel_init=ki,
                    name="conv5")(jnp.concatenate(feats, axis=-1))
         return x + out * jnp.asarray(self.res_scale, out.dtype)
 
@@ -112,8 +136,21 @@ class RRDBNet(nn.Module):
         for i in range(self.num_blocks):
             r = block_cls(self.num_channels, self.growth, dtype=self.dtype,
                           quantize=self.quantize, name=f"rrdb_{i}")(r)
+        # Near-zero trunk projection at init. Even with the 0.1-scaled RDB
+        # convs, the trunk grows structurally: RDB(y) ~= y at init, so each
+        # RRDB outputs ~1.2x its input and the 23-block trunk is ~1.2^23 ~=
+        # 66x `initial` (measured: std 0.97 -> 53.8 over the stack). The
+        # published net absorbs that over ~1M iterations; this framework's
+        # short convergence runs need the same start-near-identity property
+        # ResNetSR/AttentionSR get from their global skip + ICNR tails — so
+        # the trunk enters through a 0.01-scaled projection and the net
+        # begins as `initial + tail` with O(1) outputs. Init-only: the
+        # forward math and checkpoint layout are unchanged (torch-mirror
+        # parity tests share weights), and Adam's per-leaf RMS
+        # normalization keeps body learning at full rate from step 1.
         r = Conv(self.num_channels, 3, dtype=self.dtype,
-                 quantize=self.quantize, name="mid_conv")(r)
+                 quantize=self.quantize, kernel_init=scaled_kaiming(0.01),
+                 name="mid_conv")(r)
         x = initial + r
         stages = scale_stages(self.scale_factor)
         if self.phase_tail:
