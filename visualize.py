@@ -44,8 +44,10 @@ WEIGHTS = {
     "RESNET": "weights/resnet_run_best",
     "AttentionSR": "weights/attentionsr_run_best",
     "AttentionSR_GAN": "weights/attentionsr_gan_best",
-    # beyond-parity family (no reference counterpart): ESRGAN-scale RRDB
+    # beyond-parity family (no reference counterpart): ESRGAN-scale RRDB,
+    # supervised + GAN-fine-tuned (the ESRGAN recipe)
     "RRDB": "weights/winner_rrdb_best",
+    "RRDB_GAN": "weights/winner_rrdb_gan_best",
 }
 
 
@@ -67,7 +69,12 @@ class ModelRunner:
 
     def __init__(self, display_name: str, ckpt_path: str,
                  quantize: str = ""):
-        arch = "AttentionSR" if "AttentionSR" in display_name else display_name
+        # display names may carry a suffix (AttentionSR_GAN, RRDB_GAN —
+        # same net, GAN-fine-tuned checkpoint)
+        arch = display_name
+        for base in ("AttentionSR", "RRDB"):
+            if display_name.startswith(base):
+                arch = base
         self.name = display_name
         # quantize applies to every arch with a body stack (registry
         # rejects it for SRCNN, whose 3 HR convs are all quality-critical)
