@@ -722,9 +722,13 @@ def child_main():
     elif mode == "train":
         # extra mode (not the driver's headline): full train-step
         # throughput; no torch-side NLPD train baseline, so no vs_baseline.
-        # RRDB trains at half the batch: 3x the body activations of
-        # AttentionSR at the same LR geometry.
-        tb = TRAIN_BATCH // 2 if (arch == "RRDB" and not cpu) else TRAIN_BATCH
+        # RRDB trains at batch 32 — measured batch scan on v5e: 32 -> 178
+        # img/s, 48 -> 155 (past the knee: the dense-concat backward is
+        # HBM-bound and the growth-32 convs fill only a quarter of the
+        # MXU lanes), and 64 reproducibly kills the axon remote-compile
+        # helper (HTTP 500, tpu_compile_helper exit 1, on the backward's
+        # giant concatenate fusion).
+        tb = 32 if (arch == "RRDB" and not cpu) else TRAIN_BATCH
         line = {"metric": metric, "value": round(bench_train_step(
             tb, arch), 1), "unit": unit, "vs_baseline": None}
     else:

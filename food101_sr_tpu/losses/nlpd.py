@@ -67,10 +67,19 @@ def nlpd_loss_train(
     and backward — pure non-MXU tail (DESIGN.md §2 attribution). This is
     the same precision split that bought the GAN path +24% (bf16 feature
     nets for the loss, f32 for the LPIPS metric). Gradient parity vs the
-    metric-grade loss is pinned in tests/test_losses_metrics.py (cosine >
-    0.999 per-leaf through a full model); the A/B keep-or-reject record lives
-    in DESIGN.md §2. MAE term stays in input dtype (f32): it dominates
-    the loss (alpha=0.7) and costs one subtract.
+    metric-grade loss is pinned in tests/test_losses_metrics.py; MAE term
+    stays in input dtype (f32): it dominates the loss (alpha=0.7) and
+    costs one subtract.
+
+    A/B VERDICT (v5e, AttentionSR batch 128, runs/nlpd_ab.json,
+    2026-08-20): 103.15 vs 103.86 ms/step — +0.7%, inside run-to-run
+    noise. REJECTED as the production training loss: XLA already hides
+    the pyramid's cost inside the step (the non-MXU tail is latency-bound
+    on the 32-block chain, not on pyramid FLOPs), so the precision split
+    buys nothing here — unlike the GAN path, where the bf16 feature-net
+    split measured +24%. Kept, tested, and documented as the measured
+    negative result (house style: every lever measured, kept-or-rejected
+    — see DESIGN.md §2).
     """
     loss_mae = jnp.mean(jnp.abs(pred - target))
     p16 = pred.astype(jnp.bfloat16)
