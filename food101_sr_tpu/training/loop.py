@@ -385,6 +385,16 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
         g_state_raw, d_state_raw, start_epoch, start_batch = \
             load_train_checkpoint(
                 cfg["resume"], g_state_raw, scheduler, stopper, d_state_raw)
+        # Restored leaves come back COMMITTED to local devices; device_put
+        # of a committed array onto a global (multi-host) sharding is a
+        # cross-host transfer, which the CPU/gloo backend rejects and TPU
+        # DCN only supports with extra flags. Every process restored the
+        # same bytes from disk, so hop through host numpy — replicate()
+        # below then places uncommitted host data locally on each process
+        # (found by tests/test_multihost.py's resume leg).
+        g_state_raw = jax.tree_util.tree_map(np.asarray, g_state_raw)
+        if d_state_raw is not None:
+            d_state_raw = jax.tree_util.tree_map(np.asarray, d_state_raw)
         if start_batch % accum:
             raise ValueError(
                 f"checkpoint resumes mid-epoch at microbatch {start_batch}, "
