@@ -38,12 +38,15 @@ NUM_EXAMPLES = 1000
 OUTPUT_DIR = "report/images"
 
 # Checkpoint directories produced by train.py --save_name (orbax format),
-# mirroring the reference's WEIGHTS mapping (reference visualize.py:17-22).
+# mirroring the reference's WEIGHTS mapping (reference visualize.py:17-22)
+# but pointing at the sweep-winner checkpoints committed in this repo
+# (README §Quality pipeline) so the tool works out of the box; override
+# any row with --weights NAME=CKPT.
 WEIGHTS = {
-    "SRCNN": "weights/srcnn_nlpd_best",
-    "RESNET": "weights/resnet_run_best",
-    "AttentionSR": "weights/attentionsr_run_best",
-    "AttentionSR_GAN": "weights/attentionsr_gan_best",
+    "SRCNN": "weights/winner_srcnn_best",
+    "RESNET": "weights/winner_resnet_best",
+    "AttentionSR": "weights/winner_attentionsr_best",
+    "AttentionSR_GAN": "weights/winner_attentionsr_gan_best",
     # beyond-parity family (no reference counterpart): ESRGAN-scale RRDB,
     # supervised + GAN-fine-tuned (the ESRGAN recipe)
     "RRDB": "weights/winner_rrdb_best",
