@@ -80,9 +80,13 @@ def pinned_baseline(arch: str) -> float | None:
     try:
         with open(BASELINE_FILE) as f:
             entry = json.load(f)["baselines"].get(arch)
-        return float(entry["ips"]) if entry else None
     except (OSError, ValueError, KeyError, TypeError):
-        return FALLBACK_BASELINE_IPS if arch == "AttentionSR" else None
+        entry = None
+    if entry:
+        return float(entry["ips"])
+    # entry-missing and file-unreadable take the same fallback: the headline
+    # architecture always keeps a denominator (ADVICE r4)
+    return FALLBACK_BASELINE_IPS if arch == "AttentionSR" else None
 
 
 def record_baseline(arch: str, ips: float):
@@ -722,15 +726,15 @@ def child_main():
     elif mode == "train":
         # extra mode (not the driver's headline): full train-step
         # throughput; no torch-side NLPD train baseline, so no vs_baseline.
-        # RRDB trains at batch 32 — measured batch scan on v5e: 32 -> 178
-        # img/s, 48 -> 155 (past the knee: the dense-concat backward is
-        # HBM-bound and the growth-32 convs fill only a quarter of the
-        # MXU lanes), and 64 reproducibly kills the axon remote-compile
-        # helper (HTTP 500, tpu_compile_helper exit 1, on the backward's
-        # giant concatenate fusion).
-        tb = 32 if (arch == "RRDB" and not cpu) else TRAIN_BATCH
+        # RRDB trains at batch 128 like the others since round 5: the
+        # split dense layout (models/rrdb.py, auto-selected for train
+        # passes) removed the concat backward's giant concatenate fusion
+        # that crashed the tunnel compiler at batch >= 64 and filled the
+        # MXU lanes — measured v5e scan (runs/rrdb_mfu_ab.json): concat
+        # b32 178 img/s / 24% MFU -> split b32 195, b128 390 / 56% MFU
+        # (b64 is an off-knee dip at 175; b256 OOMs HBM at 17.5/15.75G).
         line = {"metric": metric, "value": round(bench_train_step(
-            tb, arch), 1), "unit": unit, "vs_baseline": None}
+            TRAIN_BATCH, arch), 1), "unit": unit, "vs_baseline": None}
     else:
         # the denominator is the committed, dated measurement — the live
         # torch leg only runs under --remeasure_baseline, which rewrites
@@ -751,9 +755,12 @@ def child_main():
             #      measured, but slow to COMPILE cold: 100-230 s observed).
             # SRCNN has no tail; one program, one line.
             if "--remeasure_baseline" in sys.argv:
-                baseline = bench_torch_reference(arch)
-                if baseline is not None:
-                    record_baseline(arch, baseline)
+                # keep the committed denominator when the re-measure fails
+                # (torch missing / no mirror for this arch) — ADVICE r4
+                remeasured = bench_torch_reference(arch)
+                if remeasured is not None:
+                    baseline = remeasured
+                    record_baseline(arch, remeasured)
             if arch == "SRCNN":
                 ours = bench_tpu(quantize, arch=arch)
             else:

@@ -391,10 +391,15 @@ def _train_impl(cfg: dict, logger: RunLogger) -> dict:
         # DCN only supports with extra flags. Every process restored the
         # same bytes from disk, so hop through host numpy — replicate()
         # below then places uncommitted host data locally on each process
-        # (found by tests/test_multihost.py's resume leg).
-        g_state_raw = jax.tree_util.tree_map(np.asarray, g_state_raw)
-        if d_state_raw is not None:
-            d_state_raw = jax.tree_util.tree_map(np.asarray, d_state_raw)
+        # (found by tests/test_multihost.py's resume leg). Multi-process
+        # only: a single-process resume has no placement issue, and the
+        # hop is a D2H+H2D round trip of the full train state — multiple
+        # seconds for RRDB-scale state through the ~40 MB/s tunnel
+        # (ADVICE r4).
+        if jax.process_count() > 1:
+            g_state_raw = jax.tree_util.tree_map(np.asarray, g_state_raw)
+            if d_state_raw is not None:
+                d_state_raw = jax.tree_util.tree_map(np.asarray, d_state_raw)
         if start_batch % accum:
             raise ValueError(
                 f"checkpoint resumes mid-epoch at microbatch {start_batch}, "
