@@ -57,11 +57,22 @@ RECEPTIVE_RADIUS = {
 # which would inflate tiled compute ~44x at tile 128. But both residual
 # ladders scale by 0.2, so far-field contributions decay super-
 # geometrically. Measured on a v5e chip (tools/rrdb_erf.py, HIGHEST-
-# precision convs, 256px field, 3 seeds, runs/rrdb_erf.json, 2026-08-20):
-# a MAXIMAL center-pixel perturbation's response falls to 1.2e-2 of the
-# center response at r=8, 2.4e-4 at r=12, and 5e-6 at r=16 — below half a
-# uint8 step (1/510) relative to any response of plausible magnitude.
-# 40 is the measured crossing (r in [12,16]) with ~2.5x margin.
+# precision convs, 256px field, runs/rrdb_erf.json): the half-uint8
+# (1/510) crossing of a MAXIMAL center-pixel perturbation's response is
+# r=14 at random init (3 seeds), r=7 for the trained supervised winner,
+# and r=7 for the GAN winner too (round 5 — measured, not assumed: GAN
+# fine-tuning trains high-frequency hallucination and could have
+# lengthened the effective kernels; it didn't — exact zeros beyond r=48,
+# and the serving-geometry tiled-vs-full check passes at 0.0x uint8
+# steps, runs/rrdb_erf.json tiled_check_gan_winner).
+#
+# The bound is EMPIRICAL, not architectural: it holds for every measured
+# checkpoint with >=2.5x margin, but a future checkpoint trained
+# differently (no residual-scale discipline, much higher LR) could decay
+# more slowly. Before serving a NEW deep-RRDB checkpoint through this
+# halo, re-run `tools/rrdb_erf.py --checkpoint <ckpt>` (ring profile) or
+# `--tiled_check` (end-to-end serving-geometry assertion); tests pin the
+# committed profiles' crossings at <= RADIUS/2.5.
 RRDB_EFFECTIVE_RADIUS = 40
 
 

@@ -101,6 +101,42 @@ def measure(size: int, blocks: int, seeds: int, scale: int = 4,
     return out
 
 
+def tiled_check(size: int, checkpoint: str, scale: int = 4, seed: int = 0):
+    """Tiled-vs-full forward at the SERVING geometry (serve.py: tile 64,
+    halo = receptive_radius -> 40 for registry RRDB, window 144): the
+    direct validation that a given checkpoint's weights respect the halo.
+    The ring profile above is a per-pixel response measurement; this is
+    the end-to-end guarantee serving relies on, in HIGHEST precision so
+    the number isolates the halo truncation error from bf16 pass noise.
+    Reports max |tiled - full| in uint8 steps (>= 0.5 would mean a
+    visible-quantization seam is possible)."""
+    from food101_sr_tpu.models import model_for_params
+    from food101_sr_tpu.parallel.spatial import receptive_radius, tiled_apply
+    from food101_sr_tpu.training import load_checkpoint
+
+    tree = load_checkpoint(checkpoint)
+    variables = {"params": tree["params"], **tree.get("extra", {})}
+    model = model_for_params(tree["params"], scale_factor=scale)
+    halo = receptive_radius("RRDB", model)
+
+    @jax.jit
+    def fwd(x):
+        with jax.default_matmul_precision("highest"):
+            return model.apply(variables, x, train=False)
+
+    x = jnp.asarray(np.random.default_rng(seed)
+                    .uniform(0, 1, (1, size, size, 3)).astype(np.float32))
+    full = fwd(x)
+    tiled = tiled_apply(fwd, x, scale=scale, tile=64, halo=halo,
+                        max_windows=4)
+    diff_steps = float(jnp.max(jnp.abs(tiled - full))) * 255.0
+    out = {"checkpoint": checkpoint, "size": size, "tile": 64, "halo": halo,
+           "max_abs_diff_uint8_steps": round(diff_steps, 4),
+           "seam_safe": diff_steps < 0.5}
+    print(json.dumps(out, indent=2))
+    return out
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--size", type=int, default=256, help="LR image size")
@@ -109,9 +145,17 @@ if __name__ == "__main__":
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--checkpoint", default="",
                    help="orbax RRDB checkpoint; empty = random init x seeds")
+    p.add_argument("--tiled_check", action="store_true",
+                   help="skip the ring profile; run the serving-geometry "
+                        "tiled-vs-full check on --checkpoint instead")
     a = p.parse_args()
     if a.cpu:
         import food101_sr_tpu
 
         food101_sr_tpu.use_cpu_backend()
-    measure(a.size, a.blocks, a.seeds, checkpoint=a.checkpoint)
+    if a.tiled_check:
+        if not a.checkpoint:
+            sys.exit("--tiled_check needs --checkpoint")
+        tiled_check(a.size, a.checkpoint)
+    else:
+        measure(a.size, a.blocks, a.seeds, checkpoint=a.checkpoint)
