@@ -69,13 +69,26 @@ class MicroBatcher:
     """
 
     def __init__(self, fwd, max_batch: int = 8, window_ms: float = 3.0,
-                 sharding=None):
+                 sharding=None, instrument: bool = False):
         import queue as _q
 
         self._fwd = fwd
         self.max_batch = max_batch
         self.window = window_ms / 1e3
         self.sharding = sharding  # optional: shard batches over a device mesh
+        # --instrument: split device-execution time from D2H per batch by
+        # inserting a 1-element sync fetch between dispatch and the row
+        # fetch. That sync costs ~one tunnel RTT per batch, so it is
+        # OPT-IN (attribution runs), never the production default; without
+        # it t_exec_fetch_s carries the combined execute+D2H time.
+        self.instrument = instrument
+        # timing accumulators, owned by the single batcher thread
+        self.t_collect_s = 0.0     # window wait assembling each group
+        self.t_h2d_s = 0.0         # host stack + device_put
+        self.t_exec_fetch_s = 0.0  # dispatch+execute+D2H (combined mode)
+        self.t_exec_s = 0.0        # execute only (instrument mode)
+        self.t_d2h_s = 0.0         # row fetch only (instrument mode)
+        self.rows_fetched = 0
         self._q: "_q.Queue" = _q.Queue()
         self.n_batches = 0
         self.n_items = 0
@@ -121,7 +134,8 @@ class MicroBatcher:
             pending = None
             group = [first]
             shape = first[0].shape
-            deadline = time.perf_counter() + self.window
+            t_win0 = time.perf_counter()
+            deadline = t_win0 + self.window
             while len(group) < self.max_batch:
                 timeout = deadline - time.perf_counter()
                 if timeout <= 0:
@@ -135,11 +149,13 @@ class MicroBatcher:
                 else:  # different bucket: hold it to lead the next round
                     pending = item
                     break
+            self.t_collect_s += time.perf_counter() - t_win0
             try:
                 # pad the batch dim to max_batch: ONE compiled program per
                 # shape bucket regardless of how many requests coalesced
                 # (a fresh XLA compile per batch size would dwarf the
                 # forward itself)
+                t0 = time.perf_counter()
                 stack = np.stack([g[0] for g in group])
                 pad = self.max_batch - len(group)
                 if pad:
@@ -152,6 +168,8 @@ class MicroBatcher:
                     dev = jax.device_put(stack, self.sharding)
                 else:
                     dev = jnp.asarray(stack)
+                t1 = time.perf_counter()
+                self.t_h2d_s += t1 - t0
                 # fetch only the occupied rows, rounded up to a power of
                 # two: D2H cost scales with the coalesced group rather than
                 # the padded max_batch, while the row-slice stays one of
@@ -159,7 +177,19 @@ class MicroBatcher:
                 # group size caused compile stalls mid-traffic)
                 n_fetch = min(self.max_batch,
                               1 << max(0, len(group) - 1).bit_length())
-                out = np.asarray(self._fwd(dev)[:n_fetch])
+                dev_out = self._fwd(dev)[:n_fetch]
+                if self.instrument:
+                    # 1-element fetch: waits for execution, ships ~1 byte —
+                    # what remains in the row fetch below is pure D2H wire
+                    np.asarray(dev_out[:1, :1, :1, :1])
+                    t2 = time.perf_counter()
+                    self.t_exec_s += t2 - t1
+                    out = np.asarray(dev_out)
+                    self.t_d2h_s += time.perf_counter() - t2
+                else:
+                    out = np.asarray(dev_out)
+                self.t_exec_fetch_s += time.perf_counter() - t1
+                self.rows_fetched += n_fetch
                 self.n_batches += 1
                 self.n_items += len(group)
                 for i, (_, ev, slot) in enumerate(group):
@@ -176,7 +206,8 @@ class SRServer:
                  scale: int = 4, tile: int = 64, dtype=jnp.bfloat16,
                  png_level: int = 1, use_mesh: bool = False,
                  max_batch: int = 8, tta: bool = False,
-                 quantize: str = "", phase_tail: bool = True):
+                 quantize: str = "", phase_tail: bool = True,
+                 window_ms: float = 3.0, instrument: bool = False):
         # phase_tail (default on): the RESNET/AttentionSR upsample tail runs
         # fused in pixel-shuffle phase space — exact same math and params,
         # measured +21% AttentionSR x4 throughput on v5e (DESIGN.md §2);
@@ -263,9 +294,20 @@ class SRServer:
             if n_dev > 1:
                 sharding = data_sharding(mesh)
         self._batcher = MicroBatcher(self._fwd, max_batch=max_batch,
-                                     sharding=sharding)
+                                     sharding=sharding, window_ms=window_ms,
+                                     instrument=instrument)
         self.n_served = 0
         self._served_lock = threading.Lock()
+        # host-side attribution (decode/encode run on handler threads)
+        self.t_decode_s = 0.0
+        self.t_encode_s = 0.0
+
+    def add_host_time(self, which: str, dt: float):
+        with self._served_lock:
+            if which == "decode":
+                self.t_decode_s += dt
+            else:
+                self.t_encode_s += dt
 
     def warmup(self, sizes=None):
         """Precompile the serving programs before taking traffic.
@@ -405,7 +447,7 @@ def make_handler(server, default: str | None = None):
             elif self.path == "/statz":
                 def one(s):
                     b = s._batcher
-                    return {
+                    info = {
                         "served": s.n_served,
                         "device_batches": b.n_batches,
                         "batched_items": b.n_items,
@@ -415,8 +457,22 @@ def make_handler(server, default: str | None = None):
                         "batches_per_item": round(b.n_batches / b.n_items, 4)
                                             if b.n_items else None,
                         "max_batch": b.max_batch,
+                        "window_ms": b.window * 1e3,
                         "queue_depth": b._q.qsize(),
+                        # per-stage attribution, cumulative seconds
+                        # (t_exec_s/t_d2h_s split only under --instrument;
+                        # t_exec_fetch_s always carries execute+D2H)
+                        "t_collect_s": round(b.t_collect_s, 3),
+                        "t_h2d_s": round(b.t_h2d_s, 3),
+                        "t_exec_fetch_s": round(b.t_exec_fetch_s, 3),
+                        "rows_fetched": b.rows_fetched,
+                        "t_decode_s": round(s.t_decode_s, 3),
+                        "t_encode_s": round(s.t_encode_s, 3),
                     }
+                    if b.instrument:
+                        info["t_exec_s"] = round(b.t_exec_s, 3)
+                        info["t_d2h_s"] = round(b.t_d2h_s, 3)
+                    return info
 
                 info = (one(servers[default]) if len(servers) == 1
                         else {n: one(s) for n, s in servers.items()})
@@ -479,12 +535,14 @@ def make_handler(server, default: str | None = None):
                 # and close rather than decode a half image
                 self._send(400, b"truncated body", "text/plain")
                 return
+            t_dec = time.perf_counter()
             try:
                 img = Image.open(io.BytesIO(data))
                 img.load()
             except Exception:
                 self._send(400, b"could not decode image", "text/plain")
                 return
+            srv.add_host_time("decode", time.perf_counter() - t_dec)
             t0 = time.perf_counter()
             sr = srv.upscale(img)
             dt = (time.perf_counter() - t0) * 1e3
@@ -492,12 +550,14 @@ def make_handler(server, default: str | None = None):
             # of a large SR output costs more wall time than the jitted
             # forward itself; the native paths are faster and release the
             # GIL (PNG: fixed SUB filter; JPEG: caller-chosen quality).
+            t_enc = time.perf_counter()
             if fmt in ("jpeg", "jpg"):
                 body = encode_jpeg_rgb8(np.asarray(sr), quality)
                 ctype = "image/jpeg"
             else:
                 body = encode_png_rgb8(np.asarray(sr), srv.png_level)
                 ctype = "image/png"
+            srv.add_host_time("encode", time.perf_counter() - t_enc)
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
@@ -557,6 +617,17 @@ def main():
                         "(exact same math/params; on by default because it "
                         "measures +21%% AttentionSR x4 throughput on v5e — "
                         "this flag exists for A/B timing and debugging)")
+    p.add_argument("--batch_window_ms", type=float, default=3.0,
+                   help="micro-batcher coalescing window. 3 ms suits the "
+                        "small nets (sub-10 ms forwards); for heavy models "
+                        "whose forward dwarfs the window the queue itself "
+                        "does the coalescing while the device runs, so "
+                        "raising this mostly adds latency (A/B'd for RRDB "
+                        "in runs/serve_attrib_rrdb.json)")
+    p.add_argument("--instrument", action="store_true",
+                   help="split device-execute vs D2H time per batch in "
+                        "/statz (adds a 1-element sync fetch per batch — "
+                        "~one tunnel RTT; attribution runs only)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8700)
     a = p.parse_args()
@@ -566,7 +637,8 @@ def main():
                         png_level=a.png_level, use_mesh=a.mesh,
                         max_batch=a.max_batch, tta=a.tta,
                         quantize=a.quantize if quantize is None else quantize,
-                        phase_tail=not a.no_phase_tail)
+                        phase_tail=not a.no_phase_tail,
+                        window_ms=a.batch_window_ms, instrument=a.instrument)
 
     if a.model:
         # validate every spec BEFORE building any server: construction can

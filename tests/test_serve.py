@@ -252,6 +252,43 @@ def test_statz_endpoint(server):
         assert stats["device_batches"] >= 1
         assert stats["batched_items"] >= stats["device_batches"]
         assert stats["max_batch"] == server._batcher.max_batch
+        # round-5 attribution fields: cumulative per-stage seconds
+        # (t_exec_fetch_s carries execute+D2H; the exec/D2H split only
+        # appears under --instrument)
+        for key in ("t_collect_s", "t_h2d_s", "t_exec_fetch_s",
+                    "t_decode_s", "t_encode_s", "window_ms"):
+            assert key in stats, key
+        assert stats["t_exec_fetch_s"] > 0
+        assert stats["rows_fetched"] >= 1
+        assert "t_exec_s" not in stats  # not an --instrument server
+    finally:
+        httpd.shutdown()
+
+
+def test_statz_instrumented_split_and_window():
+    """--instrument splits execute vs D2H per batch; --batch_window_ms is
+    honored by the micro-batcher (the RRDB serving-attribution knob)."""
+    import json as _json
+    import serve
+    import jax.numpy as jnp
+
+    srv = serve.SRServer("SRCNN", None, scale=4, tile=32,
+                         dtype=jnp.float32, window_ms=7.5, instrument=True)
+    assert srv._batcher.window == pytest.approx(7.5e-3)
+    httpd = serve.SRHTTPServer(("127.0.0.1", 0), serve.make_handler(srv))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        srv.upscale(_img(20, 12, seed=71))
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/statz") as r:
+            stats = _json.loads(r.read())
+        assert stats["window_ms"] == pytest.approx(7.5)
+        assert stats["t_exec_s"] >= 0
+        assert stats["t_d2h_s"] >= 0
+        # split must account for (nearly all of) the combined counter
+        assert (stats["t_exec_s"] + stats["t_d2h_s"]
+                <= stats["t_exec_fetch_s"] + 1e-6)
     finally:
         httpd.shutdown()
 
