@@ -43,6 +43,7 @@ def test_model_runner_bucket_pads_and_crops(vis):
                                train=False)
     r._fwd = jax.jit(lambda v, x: jnp.clip(
         r.model.apply(v, x, train=False), 0.0, 1.0))
+    r._to_u8 = jax.jit(lambda y: (y * 255.0 + 0.5).astype(jnp.uint8))
     r._warm_shapes = set()
 
     lr = np.random.default_rng(1).uniform(0, 1, (30, 45, 3)).astype(np.float32)

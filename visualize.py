@@ -99,6 +99,12 @@ class ModelRunner:
         self._fwd = jax.jit(
             lambda v, x: jnp.clip(self.model.apply(v, x, train=False), 0.0, 1.0)
         )
+        # uint8 quantization on device: the PNG save and the metric crop
+        # both consume uint8 anyway, and fetching f32 costs 4x the D2H
+        # wire time (26 MB/image for a 512px SR output through a ~40 MB/s
+        # tunnel — it dominated the round-5 N=64 report's wall clock)
+        self._to_u8 = jax.jit(
+            lambda y: (y * 255.0 + 0.5).astype(jnp.uint8))
         # x8 geometric self-ensemble (ops/tta.py): two 4N-batched forwards
         # + averaging, all inside one jit
         self._fwd_tta = jax.jit(
@@ -127,8 +133,9 @@ class ModelRunner:
         # ack early through remote-TPU tunnels (see bench.py)
         float(_SUM(out))
         dt = time.perf_counter() - t0
-        sr = np.asarray(out[0])[: h * SCALE_FACTOR, : w * SCALE_FACTOR]
-        return (sr * 255.0 + 0.5).astype(np.uint8), dt
+        sr = np.asarray(self._to_u8(out)[0])[: h * SCALE_FACTOR,
+                                             : w * SCALE_FACTOR]
+        return sr, dt
 
 
 def parse_weight_specs(specs):
@@ -202,12 +209,16 @@ def run_comparison(dataset="food101", data_root="./data",
                     f"{calculate_psnr(sr, hr_img):.2f} dB | "
                     f"Inference: {dt * 1000:.2f} ms")
             if metrics_calc is not None:
-                # center-crop both to multiples of 32 so the jitted metric
-                # program compiles a handful of shape buckets instead of
-                # one per distinct image size (border-cropped evaluation is
-                # the standard SR practice anyway)
-                hh, ww = (sr.shape[0] // 32) * 32, (sr.shape[1] // 32) * 32
-                if hh == 0 or ww == 0:  # tiny image: accept its own compile
+                # center-crop both to ONE fixed metric window (256px, or
+                # the largest 32-multiple that fits a smaller image):
+                # with Food-101's per-image sizes, "multiples of 32" still
+                # meant a distinct metric-program compile per image x model
+                # — through the tunnel that made an N=64 report
+                # compile-bound (~10 min/image, round 5). A fixed center
+                # crop is standard SR eval practice and compiles ONCE.
+                hh = ww = min(256, (sr.shape[0] // 32) * 32,
+                              (sr.shape[1] // 32) * 32)
+                if hh == 0:  # tiny image: accept its own compile
                     hh, ww = sr.shape[0], sr.shape[1]
                 oy, ox = (sr.shape[0] - hh) // 2, (sr.shape[1] - ww) // 2
                 hr_np = np.asarray(hr_img)
