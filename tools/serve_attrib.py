@@ -40,7 +40,9 @@ def fetch_json(url, timeout=10):
         return json.loads(r.read())
 
 
-def wait_healthy(port, deadline_s=900):
+def wait_healthy(port, deadline_s=2400):
+    # --warmup precompiles ~8 (bucket x occupancy) programs before the
+    # socket opens; cold through the axon tunnel that can exceed 15 min
     t0 = time.time()
     while time.time() - t0 < deadline_s:
         try:
@@ -55,7 +57,8 @@ def run_leg(args, window_ms: float) -> dict:
     cmd = [sys.executable, os.path.join(ROOT, "serve.py"),
            "--architecture", args.architecture,
            "--port", str(port), "--warmup", "--instrument",
-           "--batch_window_ms", str(window_ms)]
+           "--batch_window_ms", str(window_ms),
+           "--max_batch", str(args.max_batch)]
     if args.checkpoint:
         cmd += ["--checkpoint", args.checkpoint]
     if args.quantize:
@@ -106,6 +109,7 @@ def run_leg(args, window_ms: float) -> dict:
     n = max(d["served"], 1)
     leg = {
         "window_ms": window_ms,
+        "max_batch": args.max_batch,
         "loadtest": lt_line,
         "served": d["served"],
         "batches_per_item": round(d["device_batches"]
@@ -133,6 +137,7 @@ def main():
     ap.add_argument("--checkpoint", default="weights/winner_rrdb_best")
     ap.add_argument("--quantize", default="")
     ap.add_argument("--port", type=int, default=8731)
+    ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--concurrency", type=int, default=32)
     ap.add_argument("--requests", type=int, default=192)
     ap.add_argument("--width", type=int, default=56)
