@@ -598,3 +598,32 @@ def test_shutdown_drains_in_flight_requests(server):
     assert not rt.is_alive() and not t.is_alive()
     assert "err" not in results, results.get("err")
     assert results["img"].size == (800, 600)
+
+
+def test_adaptive_window_policy():
+    """Adaptive coalescing (round 5): the collect window stays at the
+    short fixed value for sparse traffic, extends toward the batch-exec
+    EMA only after a >=75%-full dispatch, and caps at 100 ms."""
+    import serve
+
+    mb = serve.MicroBatcher.__new__(serve.MicroBatcher)
+    mb.window = 3e-3
+    mb.max_batch = 8
+    mb.adaptive = True
+    mb._ema_exec_s = 0.0
+    mb._last_fill = 0
+    # no exec history yet -> fixed window
+    assert mb.collect_window() == pytest.approx(3e-3)
+    # exec history but last dispatch was sparse -> still fixed
+    mb._ema_exec_s = 0.08
+    mb._last_fill = 2
+    assert mb.collect_window() == pytest.approx(3e-3)
+    # >=75% full dispatch -> extend toward 0.75 * ema
+    mb._last_fill = 6
+    assert mb.collect_window() == pytest.approx(0.06)
+    # cap at 100 ms for very slow models
+    mb._ema_exec_s = 0.5
+    assert mb.collect_window() == pytest.approx(0.1)
+    # adaptive off -> always fixed
+    mb.adaptive = False
+    assert mb.collect_window() == pytest.approx(3e-3)

@@ -59,6 +59,9 @@ def run_leg(args, window_ms: float) -> dict:
            "--port", str(port), "--warmup", "--instrument",
            "--batch_window_ms", str(window_ms),
            "--max_batch", str(args.max_batch)]
+    # explicit either way: the server's default is adaptive ON, but the
+    # A/B legs must pin the mode they claim to measure
+    cmd += ["--adaptive_window"] if args.adaptive else ["--no_adaptive_window"]
     if args.checkpoint:
         cmd += ["--checkpoint", args.checkpoint]
     if args.quantize:
@@ -110,6 +113,7 @@ def run_leg(args, window_ms: float) -> dict:
     leg = {
         "window_ms": window_ms,
         "max_batch": args.max_batch,
+        "adaptive": args.adaptive,
         "loadtest": lt_line,
         "served": d["served"],
         "batches_per_item": round(d["device_batches"]
@@ -138,6 +142,8 @@ def main():
     ap.add_argument("--quantize", default="")
     ap.add_argument("--port", type=int, default=8731)
     ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--adaptive", action="store_true",
+                    help="pass --adaptive_window to the server under test")
     ap.add_argument("--concurrency", type=int, default=32)
     ap.add_argument("--requests", type=int, default=192)
     ap.add_argument("--width", type=int, default=56)
