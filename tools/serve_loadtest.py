@@ -46,15 +46,24 @@ def main():
                    help="route via /sr?model=NAME; repeat to round-robin "
                         "across models (exercises serve.py --model "
                         "multi-model routing under load)")
+    p.add_argument("--format", default="png", choices=["png", "jpeg"],
+                   help="response encoding (?format=jpeg exercises the "
+                        "native JPEG encoder — the cheaper host path when "
+                        "encode is the bottleneck)")
     a = p.parse_args()
 
     body = make_image(a.width, a.height)
     local = threading.local()  # one keep-alive connection per worker
 
+    magic = b"\x89PNG" if a.format == "png" else b"\xff\xd8"
+
     def one(i):
-        path = "/sr"
+        qs = []
         if a.model:
-            path = f"/sr?model={a.model[i % len(a.model)]}"
+            qs.append(f"model={a.model[i % len(a.model)]}")
+        if a.format != "png":
+            qs.append(f"format={a.format}")
+        path = "/sr" + ("?" + "&".join(qs) if qs else "")
         t0 = time.perf_counter()
         for attempt in (0, 1):  # reconnect once on a dropped keep-alive
             conn = getattr(local, "conn", None)
@@ -70,7 +79,7 @@ def main():
                 local.conn = None
                 if attempt:
                     raise
-        assert out[:4] == b"\x89PNG", "bad response"
+        assert out[: len(magic)] == magic, "bad response"
         return time.perf_counter() - t0
 
     with ThreadPoolExecutor(max_workers=a.concurrency) as pool:
@@ -87,7 +96,7 @@ def main():
         "req_per_s": round(a.requests / wall, 2),
         "p50_ms": round(pct(0.50), 1), "p95_ms": round(pct(0.95), 1),
         "max_ms": round(pct(1.0), 1),
-        "image": f"{a.width}x{a.height}",
+        "image": f"{a.width}x{a.height}", "format": a.format,
     }
     if a.model:
         line["models"] = a.model
